@@ -1,0 +1,72 @@
+"""Engine configuration and SparkSession factory.
+
+Thresholds mirror the reference defaults (reference:
+phenobert/utils/annotate.py:18-20 — p1=0.8 L1 router, p2=0.6 subtree
+scorer, p3=0.9 pair re-ranker). Spark settings are tuned for the
+local[N] sandbox but expressed the way a 1000-executor cluster job
+would set them (AQE on, skew-join on, Arrow batching for pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+# Where the reference checkout lives (read-only). Used ONLY as a data
+# source for ontology surface forms + golden corpora; never imported.
+REFERENCE_ROOT = os.environ.get("PHENOBERT_REFERENCE_ROOT", "/root/reference")
+
+TESTDATA_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Knobs of the annotation pipeline (names follow the reference CLI)."""
+
+    param1: float = 0.8          # L1 router threshold (annotate.py:18)
+    param2: float = 0.6          # subtree scorer threshold (annotate.py:19)
+    param3: float = 0.9          # pair re-ranker threshold (annotate.py:20)
+    use_longest: bool = True     # keep maximal spans (annotate.py -al)
+    use_model_stages: bool = False  # Step-2/3 analogue (deterministic path off by default)
+    max_kmer_len: int = 10       # k-mer cap (util.py:1006)
+    simple_dict_keys: bool = True  # ALSO index dictionary under stopword-simplified keys
+    # Skew handling: long documents are split into independent chunks at
+    # sentence-safe boundaries before the candidate UDF (north rule:
+    # explicit salting for skewed large-document partitions).
+    chunk_target_bytes: int = 4096
+    # Candidate-stage parallelism: partitions for the salted repartition.
+    candidate_partitions: int | None = None  # None -> spark.sql.shuffle.partitions
+
+
+def get_spark(
+    app_name: str = "phenobert-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    Defaults follow the sandbox contract (local[$SPARK_GRAFT_CPUS]); on a
+    real cluster the same code runs under spark-submit with the master
+    set externally.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,296 @@
+"""HPO ontology model: terms, DAG, surface-form dictionary (SURVEY.md §1.1).
+
+The reference parses ``hpo.json`` into ``HPOTree`` (phenobert/utils/
+util.py:283-349) and derives: the phenotypic-abnormality subtree under
+HP:0000118, the 25 "Layer-1" routing partitions, an alt-id map, BFS
+depths, and the normalized-phrase -> HPO dictionary
+(``p_phrase2HPO``, util.py:324-327, key = " ".join(sorted(processStr(name)))).
+
+``hpo.json`` is a missing blob in the checkout
+(/root/reference/.MISSING_LARGE_BLOBS), so this module reconstructs the
+ontology from what IS shipped:
+
+* ``phenobert/models/train.txt`` — 48,600 ``surface_form \\t HP:id`` rows
+  (every name+synonym of every concept under HP:0000118,
+  cf. getAllPhrasesAbnorm util.py:399-407);
+* ``phenobert/models/train_source/train_{0..24}.txt`` — the same pairs
+  grouped by Layer-1 subtree (membership = the L1 routing partition,
+  util.py:311-317/447-462).
+
+Direct ``is_a`` edges are not recoverable, so the rebuilt DAG is the
+3-level routing DAG root -> L1_i -> concept (multi-parent preserved:
+a concept in several train_source files gets several L1 parents). A
+richer synthetic DAG (alt-ids, deep multi-parent chains) is provided by
+``fixture_ontology()`` for unit tests, per FIXTURES.md §2.
+
+Scale note: the whole ontology is ~48.6k surface rows / ~17k concepts —
+a classic broadcast dimension. It is exposed both as Spark DataFrames
+(for broadcast hash joins) and as plain dicts (for pandas-UDF closures).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import REFERENCE_ROOT
+from .functions.normalize import (
+    process_str,
+    simplify_tokens,
+    sorted_bag_key,
+)
+
+ROOT = "HP:0000118"
+
+DICT_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("hpo_id", StringType(), False),
+        StructField("prio", IntegerType(), False),  # 0=strict key, 1=simplified key
+    ]
+)
+
+TERMS_SCHEMA = StructType(
+    [
+        StructField("hpo_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("synonyms", ArrayType(StringType(), False), False),
+        StructField("alt_ids", ArrayType(StringType(), False), False),
+        StructField("parents", ArrayType(StringType(), False), False),
+    ]
+)
+
+EDGES_SCHEMA = StructType(
+    [
+        StructField("child", StringType(), False),
+        StructField("parent", StringType(), False),
+    ]
+)
+
+
+@dataclass
+class Ontology:
+    """Driver-side ontology; cheap to broadcast (few MB)."""
+
+    # hpo_id -> primary name (first surface form seen, util.py:351-357)
+    names: dict[str, str]
+    # hpo_id -> all surface forms (name + synonyms, deduped, insertion order)
+    surfaces: dict[str, list[str]]
+    # normalized key -> hpo_id (strict, reference-parity keys)
+    phrase2hpo: dict[str, str]
+    # simplified key -> hpo_id (stopword/num-simplified keys; recall extension)
+    simple2hpo: dict[str, str]
+    # alt id -> canonical id
+    alt_ids: dict[str, str]
+    # L1 routing partition: l1_id -> member hpo_ids
+    layer1: dict[str, set[str]]
+    # direct edges child -> [parents]
+    parents: dict[str, list[str]]
+    # BFS depth from ROOT (root=0)
+    depth: dict[str, int]
+    _anc: dict[str, set[str]] | None = field(default=None, init=False, repr=False)
+
+    @property
+    def abnormal_set(self) -> set[str]:
+        """Concepts under HP:0000118, root excluded (phenotypic_abnormalityNT)."""
+        return set(self.names)
+
+    # -- derived structures -------------------------------------------------
+
+    def ancestors(self) -> dict[str, set[str]]:
+        """Transitive ancestor closure, driver-side BFS (|V| small by
+        design — SURVEY.md §4 item 3; distributed closure is in
+        operators/closure.py for when the graph is NOT broadcastable)."""
+        if self._anc is not None:
+            return self._anc
+        memo: dict[str, set[str]] = {}
+
+        def up(node: str) -> set[str]:
+            if node in memo:
+                return memo[node]
+            memo[node] = set()  # cycle guard
+            acc: set[str] = set()
+            for p in self.parents.get(node, []):
+                acc.add(p)
+                acc |= up(p)
+            memo[node] = acc
+            return acc
+
+        for n in list(self.parents) + [ROOT]:
+            up(n)
+        self._anc = memo
+        return memo
+
+    def canonical(self, hpo_id: str) -> str:
+        return self.alt_ids.get(hpo_id, hpo_id)
+
+    # -- Spark views ---------------------------------------------------------
+
+    def dict_df(self, spark: SparkSession) -> DataFrame:
+        """The broadcast dictionary dimension for the J1 equi-join.
+
+        One row per unique key; strict keys win over simplified keys,
+        later insertions win within a priority class (dict-overwrite
+        semantics of util.py:324-327).
+        """
+        rows = []
+        for key, hpo in self.phrase2hpo.items():
+            rows.append((key, hpo, 0))
+        for key, hpo in self.simple2hpo.items():
+            if key not in self.phrase2hpo:
+                rows.append((key, hpo, 1))
+        return spark.createDataFrame(rows, DICT_SCHEMA)
+
+    def terms_df(self, spark: SparkSession) -> DataFrame:
+        alt_by_canon: dict[str, list[str]] = {}
+        for alt, canon in self.alt_ids.items():
+            alt_by_canon.setdefault(canon, []).append(alt)
+        rows = [
+            (
+                h,
+                self.names[h],
+                self.surfaces[h],
+                sorted(alt_by_canon.get(h, [])),
+                self.parents.get(h, []),
+            )
+            for h in sorted(self.names)
+        ]
+        return spark.createDataFrame(rows, TERMS_SCHEMA)
+
+    def edges_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (child, parent)
+            for child, ps in sorted(self.parents.items())
+            for parent in ps
+        ]
+        return spark.createDataFrame(rows, EDGES_SCHEMA)
+
+
+def _ingest_pairs(
+    pairs: list[tuple[str, str]],
+    layer1: dict[str, set[str]],
+    parents: dict[str, list[str]],
+    alt_ids: dict[str, str] | None = None,
+) -> Ontology:
+    names: dict[str, str] = {}
+    surfaces: dict[str, list[str]] = {}
+    phrase2hpo: dict[str, str] = {}
+    simple2hpo: dict[str, str] = {}
+    for phrase, hpo in pairs:
+        if hpo not in names:
+            names[hpo] = phrase.lower()
+            surfaces[hpo] = []
+        if phrase not in surfaces[hpo]:
+            surfaces[hpo].append(phrase)
+        toks = process_str(phrase)
+        phrase2hpo[sorted_bag_key(toks)] = hpo
+        simple = simplify_tokens(toks)
+        if simple:
+            simple2hpo[sorted_bag_key(simple)] = hpo
+    depth = {ROOT: 0}
+    for l1, members in layer1.items():
+        depth[l1] = 1
+        for m in members:
+            depth.setdefault(m, 2)
+    for h in names:
+        depth.setdefault(h, 2)
+    return Ontology(
+        names=names,
+        surfaces=surfaces,
+        phrase2hpo=phrase2hpo,
+        simple2hpo=simple2hpo,
+        alt_ids=alt_ids or {},
+        layer1=layer1,
+        parents=parents,
+        depth=depth,
+    )
+
+
+def load_reference_ontology(root: str = REFERENCE_ROOT) -> Ontology:
+    """Rebuild the ontology from the reference's shipped TSVs (see module
+    docstring). Raises FileNotFoundError if the checkout is absent —
+    callers fall back to ``fixture_ontology``."""
+    train = os.path.join(root, "phenobert", "models", "train.txt")
+    src_dir = os.path.join(root, "phenobert", "models", "train_source")
+    pairs: list[tuple[str, str]] = []
+    with open(train, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2 and parts[1].startswith("HP:"):
+                pairs.append((parts[0], parts[1]))
+
+    layer1: dict[str, set[str]] = {}
+    parents: dict[str, list[str]] = {}
+    if os.path.isdir(src_dir):
+        for i in range(len(os.listdir(src_dir))):
+            path = os.path.join(src_dir, f"train_{i}.txt")
+            if not os.path.exists(path):
+                continue
+            l1_id = f"HP:L1_{i:02d}"
+            members: set[str] = set()
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) == 2 and parts[1].startswith("HP:"):
+                        members.add(parts[1])
+            layer1[l1_id] = members
+            parents[l1_id] = [ROOT]
+            for m in members:
+                parents.setdefault(m, []).append(l1_id)
+    return _ingest_pairs(pairs, layer1, parents)
+
+
+def fixture_ontology() -> Ontology:
+    """Small deterministic ontology for unit tests (FIXTURES.md §2):
+    3 L1 subtrees, multi-parent node, alt-ids, multiword names with
+    stopwords, synonym sets."""
+    concepts = {
+        # l1 A: neuro
+        "HP:0001250": ["Seizure", "Seizures", "Epileptic seizure"],
+        "HP:0001249": ["Intellectual disability", "Mental retardation"],
+        "HP:0002315": ["Headache", "Headaches", "Cephalgia"],
+        "HP:0001251": ["Ataxia", "Cerebellar ataxia"],
+        # l1 B: skeletal
+        "HP:0001156": ["Brachydactyly", "Short fingers and toes"],
+        "HP:0001363": ["Craniosynostosis", "Premature fusion of skull bones"],
+        "HP:0002650": ["Scoliosis", "Curvature of the spine"],
+        # l1 C: growth
+        "HP:0001510": ["Growth delay", "Delayed growth", "Growth deficiency"],
+        "HP:0004322": ["Short stature", "Decreased body height", "Small stature"],
+        "HP:0000002": ["Abnormality of body height"],
+        # multi-parent (neuro + growth)
+        "HP:0001531": ["Failure to thrive in infancy", "Faltering weight in infancy"],
+    }
+    l1 = {
+        "HP:L1_NEURO": {"HP:0001250", "HP:0001249", "HP:0002315", "HP:0001251", "HP:0001531"},
+        "HP:L1_SKEL": {"HP:0001156", "HP:0001363", "HP:0002650"},
+        "HP:L1_GROWTH": {"HP:0001510", "HP:0004322", "HP:0000002", "HP:0001531"},
+    }
+    parents: dict[str, list[str]] = {k: [ROOT] for k in l1}
+    for l1_id, members in l1.items():
+        for m in members:
+            parents.setdefault(m, []).append(l1_id)
+    # a deeper edge: seizure below intellectual-disability sibling chain
+    parents["HP:0001251"].append("HP:0001250")
+    pairs = [(s, h) for h in sorted(concepts) for s in concepts[h]]
+    alt_ids = {"HP:0008056": "HP:0001250", "HP:0001267": "HP:0001251"}
+    return _ingest_pairs(pairs, l1, parents, alt_ids)
+
+
+def get_ontology(prefer_reference: bool = True) -> Ontology:
+    if prefer_reference:
+        try:
+            return load_reference_ontology()
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+    return fixture_ontology()

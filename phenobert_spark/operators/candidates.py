@@ -1,0 +1,198 @@
+"""Candidate phrase generation (SURVEY.md §2.8 UDTF; reference
+phenobert/utils/util.py:875-1018 ``process_text2phrases``).
+
+One Arrow-batched ``mapInPandas`` generator: document chunks in,
+exploded candidate k-mers out. Pure token logic — no external NER.
+The reference gates fallback segmentation on Stanza ``PROBLEM``
+sentences (util.py:898-922); that model is unavailable and
+nondeterministic, so this rebuild treats every sentence as gated-in and
+relies on dictionary precision + thresholds (SURVEY.md §7.4 risk 2).
+
+Pipeline per chunk (all offsets index the raw ``content``):
+
+1. length-preserving normalization (lower, accent-fold, punct->space,
+   newline->'.'),
+2. span tokenization,
+3. clause segmentation on spliter tokens (',' '.' ';' 'to' 'which' ...),
+4. negation flagging (any cue word in the clause -> negated=True,
+   util.py:946-954),
+5. conjunction split on {and, or, /} + A+B elision recovery
+   ("hands and feet anomalies" -> "hands anomalies", util.py:956-995),
+6. simplification (num->word, drop stopwords/numbers, util.py:239-252),
+7. k-mer enumeration, k<=10, singleton stopword/number k-mers dropped
+   (util.py:999-1014),
+8. dictionary keys: sorted-bag key + lemma fallback key (util.py:409-421).
+
+Scale: this is the dominant narrow stage. It runs after the skew
+chunker (corpus.chunked), so per-task work is bounded by
+chunk_target_bytes regardless of document-length skew; Arrow batch size
+bounds Python-side memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.normalize import (
+    NEGATIVE_WORDS,
+    NLTK_STOPWORDS,
+    SPLITERS,
+    is_num,
+    lemma_key_of,
+    normalize_text_keep_len,
+    simplify_tokens,
+    sorted_bag_key,
+    tokenize_with_offsets,
+)
+
+CONJUNCTIONS = frozenset({"and", "or", "/"})
+# Conjunctions are handled in step 5 (split + A+B recovery). "to" is a
+# spliter in the reference's fallback path only because its NER path
+# keeps phrases like "failure to thrive" intact (util.py:898-917); with
+# no NER here, splitting on "to" would make such mentions unreachable,
+# so it stays a stopword (dropped by simplify) but not a clause break.
+CLAUSE_SPLITERS = SPLITERS - CONJUNCTIONS - {"to"}
+
+CANDIDATES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("mention", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("lemma_key", StringType(), False),
+        StructField("n_tokens", IntegerType(), False),
+        StructField("negated", BooleanType(), False),
+    ]
+)
+
+_Tok = tuple[str, int, int]
+
+
+def _clauses(tokens: list[_Tok]) -> list[list[_Tok]]:
+    out: list[list[_Tok]] = []
+    cur: list[_Tok] = []
+    for tok in tokens:
+        if tok[0] in CLAUSE_SPLITERS:
+            if cur:
+                out.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _conjunction_phrases(clause: list[_Tok]) -> list[list[_Tok]]:
+    """Split a clause on conjunctions; when it splits into exactly two
+    parts, also emit the A+B elision recovery (util.py:983-995)."""
+    parts: list[list[_Tok]] = []
+    cur: list[_Tok] = []
+    for tok in clause:
+        if tok[0] in CONJUNCTIONS:
+            if cur:
+                parts.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        parts.append(cur)
+    phrases = list(parts)
+    if len(parts) == 2:
+        a, b = parts
+        if len(a) >= 1 and len(b) == 1:
+            phrases.append(a[:-1] + b)
+        elif len(a) == 1 and len(b) >= 1:
+            phrases.append(a + b[1:])
+    return [p for p in phrases if p]
+
+
+def candidates_of_text(
+    text: str,
+    chunk_start: int = 0,
+    max_kmer_len: int = 10,
+    singleton_stopwords: frozenset[str] = NLTK_STOPWORDS,
+) -> list[tuple[int, int, str, str, str, int, bool]]:
+    """Plain-Python core (unit-testable without Spark). Returns tuples
+    (start, end, mention, key, lemma_key, n_tokens, negated) with
+    offsets shifted by ``chunk_start``."""
+    norm = normalize_text_keep_len(text)
+    tokens = tokenize_with_offsets(norm)
+    seen: set[tuple[int, int, str]] = set()
+    out: list[tuple[int, int, str, str, str, int, bool]] = []
+    for clause in _clauses(tokens):
+        negated = any(t[0] in NEGATIVE_WORDS for t in clause)
+        for phrase in _conjunction_phrases(clause):
+            simple: list[_Tok] = []
+            for t, s, e in phrase:
+                repl = simplify_tokens([t])
+                if repl:
+                    simple.append((" ".join(repl), s, e))
+            if not simple:
+                continue
+            whole = " ".join(t for t, _, _ in simple)
+            if is_num(whole) or len(whole) <= 1:
+                continue
+            n = len(simple)
+            for i in range(n):
+                for j in range(min(max_kmer_len, n - i)):
+                    kmer = simple[i : i + j + 1]
+                    if j == 0:
+                        t0 = kmer[0][0]
+                        if t0 in singleton_stopwords or is_num(t0):
+                            continue
+                    start = kmer[0][1]
+                    end = kmer[-1][2]
+                    toks = [t for t, _, _ in kmer]
+                    key = sorted_bag_key(toks)
+                    sig = (start, end, key)
+                    if sig in seen:
+                        continue
+                    seen.add(sig)
+                    out.append(
+                        (
+                            chunk_start + start,
+                            chunk_start + end,
+                            text[start:end],
+                            key,
+                            lemma_key_of(key),
+                            len(toks),
+                            negated,
+                        )
+                    )
+    return out
+
+
+def generate_candidates(chunks: DataFrame, max_kmer_len: int = 10) -> DataFrame:
+    """chunks(doc_id, chunk_id, chunk_start, chunk_text) -> candidates DF."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "start", "end", "mention", "key", "lemma_key",
+                "n_tokens", "negated"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, cstart, ctext in zip(
+                pdf["doc_id"], pdf["chunk_start"], pdf["chunk_text"]
+            ):
+                for cand in candidates_of_text(
+                    ctext, int(cstart), max_kmer_len=max_kmer_len
+                ):
+                    rows.append((doc_id, *cand))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return chunks.select(
+        "doc_id", "chunk_start", "chunk_text"
+    ).mapInPandas(gen, CANDIDATES_SCHEMA)

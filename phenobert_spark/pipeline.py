@@ -1,0 +1,95 @@
+"""End-to-end annotation pipeline: documents -> (doc_id, has_phenotype,
+HPO:ID) triples (SURVEY.md §3 E1 lifecycle, Spark-first).
+
+Physical plan (two shuffles total on the hot path, SURVEY.md §4):
+
+    iceberg/parquet scan (content + keys only — column pruning)
+      -> doc_id = sha2(content)                       [narrow]
+      -> skew chunker                                 [narrow]
+      -> repartition(doc_id, chunk_id)                [shuffle 1: salt]
+      -> candidate mapInPandas (Arrow)                [narrow]
+      -> broadcast dict joins (J1)                    [no shuffle]
+      -> (optional model stages, pandas UDFs)         [narrow]
+      -> window dedup + maximal spans (J4)            [shuffle 2: doc_id]
+      -> triples
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .canonicalize import canonicalize_ids
+from .config import PipelineConfig
+from .corpus import chunked, with_doc_id
+from .ontology import Ontology
+from .operators.candidates import generate_candidates
+from .operators.dict_link import dictionary_link
+from .operators.spans import keep_maximal_spans, suppress_contained_in
+
+TRIPLES_COLS = [
+    "doc_id", "pred", "hpo_id", "start", "end", "mention", "score", "negated",
+]
+
+
+def annotate(
+    spark: SparkSession,
+    docs: DataFrame,
+    onto: Ontology,
+    cfg: PipelineConfig = PipelineConfig(),
+    dict_df: DataFrame | None = None,
+) -> DataFrame:
+    """documents(repo, path, commit, lang, content) -> triples DF.
+
+    ``content`` is read once and dropped right after candidate
+    generation; nothing downstream carries document bodies (critical for
+    the 100 TB scan — SURVEY.md §4 'never carry content past candidate
+    generation').
+    """
+    docs = with_doc_id(docs)
+    chunks = chunked(docs.select("doc_id", "content"), cfg.chunk_target_bytes)
+    nparts = cfg.candidate_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    chunks = chunks.repartition(nparts, "doc_id", "chunk_id")
+
+    cands = generate_candidates(chunks, cfg.max_kmer_len)
+    dict_df = dict_df if dict_df is not None else onto.dict_df(spark)
+    linked = dictionary_link(cands, dict_df)
+
+    matched = linked.filter(F.col("hpo_id").isNotNull())
+
+    if cfg.use_model_stages:
+        from .linking.infer import model_link
+
+        unmatched = linked.filter(F.col("hpo_id").isNull()).drop("hpo_id", "score")
+        # J3: skip candidates nested inside an already-matched span.
+        survivors = suppress_contained_in(unmatched, matched)
+        model_matched = model_link(spark, survivors, onto, cfg)
+        if model_matched is not None:
+            matched = matched.unionByName(model_matched.select(*matched.columns))
+
+    # Deduplicate identical char spans (full phrase vs A+B recovery over
+    # the same extent): reference keeps the variant with more tokens
+    # (use_longest measures word count, util.py:1180-1185).
+    w = Window.partitionBy("doc_id", "start", "end").orderBy(
+        F.col("score").desc(), F.col("n_tokens").desc(), F.col("hpo_id").asc()
+    )
+    matched = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    final = keep_maximal_spans(matched) if cfg.use_longest else matched
+    triples = final.select(
+        "doc_id",
+        F.lit("has_phenotype").alias("pred"),
+        "hpo_id",
+        "start",
+        "end",
+        "mention",
+        "score",
+        "negated",
+    )
+    return canonicalize_ids(triples, spark, onto)

@@ -1,0 +1,42 @@
+"""Metric math (reference eval_all.py:60-73 calc_metric semantics)."""
+
+from phenobert_spark.evaluate import evaluate_sets
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, hpo_id string")
+
+
+def test_micro_macro(spark, onto):
+    pred = _df(spark, [("d1", "HP:0001250"), ("d1", "HP:0001249"), ("d2", "HP:0001156")])
+    gold = _df(spark, [("d1", "HP:0001250"), ("d2", "HP:0001156"), ("d2", "HP:0002650")])
+    m = evaluate_sets(spark, pred, gold, onto)
+    # micro: tp=2, pred=3, gold=3
+    assert abs(m["micro_p"] - 2 / 3) < 1e-9
+    assert abs(m["micro_r"] - 2 / 3) < 1e-9
+    # macro: d1 P=0.5 R=1, d2 P=1 R=0.5
+    assert abs(m["macro_p"] - 0.75) < 1e-9
+    assert abs(m["macro_r"] - 0.75) < 1e-9
+
+
+def test_empty_doc_rule(spark, onto):
+    """Doc with no gold and no pred counts P=R=1 (eval_all.py:64-67)."""
+    universe = spark.createDataFrame([("d1",), ("d2",)], "doc_id string")
+    pred = _df(spark, [("d1", "HP:0001250")])
+    gold = _df(spark, [("d1", "HP:0001250")])
+    m = evaluate_sets(spark, pred, gold, onto, doc_universe=universe)
+    assert m["macro_p"] == 1.0 and m["macro_r"] == 1.0
+
+
+def test_alt_id_folding_in_eval(spark, onto):
+    pred = _df(spark, [("d1", "HP:0008056")])  # alt id of HP:0001250
+    gold = _df(spark, [("d1", "HP:0001250")])
+    m = evaluate_sets(spark, pred, gold, onto)
+    assert m["micro_p"] == 1.0 and m["micro_r"] == 1.0
+
+
+def test_non_abnormal_ids_excluded(spark, onto):
+    pred = _df(spark, [("d1", "HP:0001250"), ("d1", "HP:7777777")])
+    gold = _df(spark, [("d1", "HP:0001250")])
+    m = evaluate_sets(spark, pred, gold, onto)
+    assert m["micro_p"] == 1.0
