@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (documents
+-> (doc_id, has_phenotype, HPO:ID) triples) over the sf0.001 documents
+table mapped into the engine's corpus schema, plus the deterministic
+fixture corpus so the result always contains real triples.
+
+``queries()`` / ``oracle_sql()`` expose the operator registry in
+``phenobert_spark/plans/contract_queries.py`` (SURVEY.md §2 coverage;
+each Spark implementation paired with a DuckDB-runnable ANSI oracle).
 """
 
 from __future__ import annotations
@@ -15,24 +18,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full annotation
+    pipeline (skew-chunked candidate generation -> broadcast dictionary
+    linking -> span dedup -> canonicalized triples)."""
+    from pyspark.sql import functions as F
+
+    from phenobert_spark.config import PipelineConfig
+    from phenobert_spark.corpus import DOCUMENTS_SCHEMA, synthesize_corpus
+    from phenobert_spark.ontology import get_ontology
+    from phenobert_spark.pipeline import annotate
+
+    onto = get_ontology()
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = raw.select(
+        F.lit("testdata").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    fixture_docs, _ = synthesize_corpus(spark, onto, n_docs=10)
+    all_docs = docs.unionByName(fixture_docs)
+    return annotate(spark, all_docs, onto, PipelineConfig())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from phenobert_spark.plans.contract_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from phenobert_spark.plans.contract_queries import ORACLES
+
+    return dict(ORACLES)

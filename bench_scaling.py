@@ -1,0 +1,117 @@
+"""Scaling-efficiency evidence (north rule: >= 0.8 throughput scaling
+efficiency between N and 4N executors).
+
+No real cluster exists in this sandbox, so the same flagship job runs
+at two parallelism levels — local[4] (N) and local[16] (4N) — on
+identical input, one fresh JVM per level (subprocess), excluding one
+warm-up run per level. Efficiency:
+
+    eff = (docs_per_sec @ 4N) / (4 * docs_per_sec @ N)
+
+Usage: python bench_scaling.py [sf_dir]   # default /root/testdata/sf0.1
+Appends a result row to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time
+from pyspark.sql import functions as F
+from phenobert_spark.config import PipelineConfig, get_spark
+from phenobert_spark.ontology import get_ontology
+from phenobert_spark.pipeline import annotate
+
+cores, sf_dir = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=int(cores))
+spark.sparkContext.setLogLevel("ERROR")
+onto = get_ontology()
+AMP = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+# Amplify the corpus AMP-fold with distinct contents (distinct doc_ids):
+# the sandbox tables are small; scaling evidence needs a compute-bound
+# run where fixed overheads (broadcast, worker spin-up) are amortized.
+docs = (
+    raw.crossJoin(spark.range(AMP).withColumnRenamed("id", "rep"))
+    .select(
+        F.lit("bench").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit("_"), F.col("rep")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" replica "), F.col("rep")).alias("content"),
+    )
+    # a realistic source scan is many-partitioned; the crossJoin above
+    # collapses to 1 partition, which would serialize the first stage
+    .repartition(4 * int(cores))
+    .cache()
+)
+n_docs = docs.count()
+dict_df = onto.dict_df(spark).cache()
+dict_df.count()
+
+def once():
+    t0 = time.time()
+    n = annotate(spark, docs, onto, PipelineConfig(), dict_df=dict_df).count()
+    return time.time() - t0, n
+
+once()  # warm-up (excluded; JIT + python-worker spin-up)
+runs = [once() for _ in range(3)]
+best = min(t for t, _ in runs)
+print(json.dumps({"cores": int(cores), "n_docs": n_docs,
+                  "sec": round(best, 3),
+                  "docs_per_sec": round(n_docs / best, 2),
+                  "runs": [round(t, 3) for t, _ in runs],
+                  "n_triples": runs[0][1]}))
+spark.stop()
+"""
+
+
+AMP = int(os.environ.get("SCALING_AMP", "128"))
+
+
+def run_level(cores: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), sf_dir, str(AMP)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    # N=4 / 4N=16 rather than 8/32: the sandbox box has exactly 32 cores,
+    # and local[32] would leave zero headroom for the driver, GC and
+    # shuffle threads that a real cluster runs on separate machines —
+    # penalizing the 4N side with contention that does not exist at
+    # cluster scale. 4 vs 16 keeps both levels on dedicated cores.
+    lo = run_level(4, sf_dir)
+    hi = run_level(16, sf_dir)
+    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "n_level": lo,
+        "four_n_level": hi,
+        "sf_dir": sf_dir,
+    }
+    print(json.dumps(result))
+    line = (
+        f"| {sf_dir} x{AMP} ({lo['n_docs']} docs) "
+        f"| local[{lo['cores']}]: {lo['docs_per_sec']} docs/s ({lo['sec']}s) "
+        f"| local[{hi['cores']}]: {hi['docs_per_sec']} docs/s ({hi['sec']}s) "
+        f"| **{eff:.3f}** |\n"
+    )
+    with open("BENCH_SCALING.md", "a", encoding="utf-8") as fh:
+        fh.write(line)
+
+
+if __name__ == "__main__":
+    main()

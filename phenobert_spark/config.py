@@ -32,6 +32,7 @@ class PipelineConfig:
     use_model_stages: bool = False  # Step-2/3 analogue (deterministic path off by default)
     max_kmer_len: int = 10       # k-mer cap (util.py:1006)
     simple_dict_keys: bool = True  # ALSO index dictionary under stopword-simplified keys
+    vocab_prune: bool = True     # exact OOV k-mer pruning in candidate gen
     # Skew handling: long documents are split into independent chunks at
     # sentence-safe boundaries before the candidate UDF (north rule:
     # explicit salting for skewed large-document partitions).

@@ -134,6 +134,18 @@ class Ontology:
     def canonical(self, hpo_id: str) -> str:
         return self.alt_ids.get(hpo_id, hpo_id)
 
+    def vocab(self) -> frozenset[str]:
+        """Every token appearing in any dictionary key (strict or
+        simplified). Used for exact candidate pruning: a k-mer with a
+        token outside this set (and whose lemma is outside it) can never
+        hit the dictionary join."""
+        toks: set[str] = set()
+        for key in self.phrase2hpo:
+            toks.update(key.split())
+        for key in self.simple2hpo:
+            toks.update(key.split())
+        return frozenset(toks)
+
     # -- Spark views ---------------------------------------------------------
 
     def dict_df(self, spark: SparkSession) -> DataFrame:

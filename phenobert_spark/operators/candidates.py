@@ -50,6 +50,7 @@ from ..functions.normalize import (
     NLTK_STOPWORDS,
     SPLITERS,
     is_num,
+    lemma,
     lemma_key_of,
     normalize_text_keep_len,
     simplify_tokens,
@@ -125,10 +126,20 @@ def candidates_of_text(
     chunk_start: int = 0,
     max_kmer_len: int = 10,
     singleton_stopwords: frozenset[str] = NLTK_STOPWORDS,
+    vocab: frozenset[str] | set[str] | None = None,
 ) -> list[tuple[int, int, str, str, str, int, bool]]:
     """Plain-Python core (unit-testable without Spark). Returns tuples
     (start, end, mention, key, lemma_key, n_tokens, negated) with
-    offsets shifted by ``chunk_start``."""
+    offsets shifted by ``chunk_start``.
+
+    ``vocab``: optional dictionary vocabulary for EXACT candidate
+    pruning — a k-mer whose sorted-bag key (or lemma key) could ever
+    hit the dictionary must have every token t with t in vocab or
+    lemma(t) in vocab; other k-mers are provably join misses, so
+    skipping them changes nothing downstream of the dictionary path
+    while cutting candidate volume ~20-50x (the dominant Arrow/join
+    traffic at 100 TB scale). Pass None to over-generate (model-stage
+    input, reference-faithful)."""
     norm = normalize_text_keep_len(text)
     tokens = tokenize_with_offsets(norm)
     seen: set[tuple[int, int, str]] = set()
@@ -147,8 +158,19 @@ def candidates_of_text(
             if is_num(whole) or len(whole) <= 1:
                 continue
             n = len(simple)
+            if vocab is not None:
+                elig = [
+                    all(w in vocab or lemma(w) in vocab for w in t.split())
+                    for t, _, _ in simple
+                ]
+            else:
+                elig = None
             for i in range(n):
+                if elig is not None and not elig[i]:
+                    continue
                 for j in range(min(max_kmer_len, n - i)):
+                    if elig is not None and not elig[i + j]:
+                        break
                     kmer = simple[i : i + j + 1]
                     if j == 0:
                         t0 = kmer[0][0]
@@ -176,10 +198,17 @@ def candidates_of_text(
     return out
 
 
-def generate_candidates(chunks: DataFrame, max_kmer_len: int = 10) -> DataFrame:
-    """chunks(doc_id, chunk_id, chunk_start, chunk_text) -> candidates DF."""
+def generate_candidates(
+    chunks: DataFrame, max_kmer_len: int = 10, vocab_bc=None
+) -> DataFrame:
+    """chunks(doc_id, chunk_id, chunk_start, chunk_text) -> candidates DF.
+
+    ``vocab_bc``: optional ``sc.broadcast(frozenset)`` of dictionary
+    vocabulary tokens for exact candidate pruning (see
+    candidates_of_text)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = vocab_bc.value if vocab_bc is not None else None
         cols = ["doc_id", "start", "end", "mention", "key", "lemma_key",
                 "n_tokens", "negated"]
         for pdf in batches:
@@ -188,7 +217,7 @@ def generate_candidates(chunks: DataFrame, max_kmer_len: int = 10) -> DataFrame:
                 pdf["doc_id"], pdf["chunk_start"], pdf["chunk_text"]
             ):
                 for cand in candidates_of_text(
-                    ctext, int(cstart), max_kmer_len=max_kmer_len
+                    ctext, int(cstart), max_kmer_len=max_kmer_len, vocab=vocab
                 ):
                     rows.append((doc_id, *cand))
             yield pd.DataFrame(rows, columns=cols)

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+mime + metadata; all Spark-side plumbing (schema, partition safety,
+Arrow batch shape) is real and tested. The actual decode kernels
+(image resize, audio resample, video frame-sample) require codec
+libraries that are not in this container, so ``decode_payload`` is an
+explicit, clearly-marked stub behind an import gate; the deterministic
+byte-statistics extractor below exercises the identical dataflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_entropy", DoubleType(), False),
+        StructField("payload_sha", StringType(), False),
+    ]
+)
+
+
+def decode_payload(payload: bytes, mime: str):
+    """Decode an image/audio/video payload into a tensor.
+
+    STUB: codec libraries (Pillow / soundfile / av) are unavailable in
+    this environment. On a production cluster this body becomes e.g.
+    ``PIL.Image.open(io.BytesIO(payload)).resize(...)`` inside the same
+    mapInPandas kernel; the engine's dataflow is unchanged.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; the Spark-side plumbing is exercised via "
+            "extract_binary_features"
+        ) from exc
+    raise NotImplementedError("wire the real decoder here when codecs exist")
+
+
+def extract_binary_features(blobs: DataFrame) -> DataFrame:
+    """blobs(doc_id, payload BINARY, mime, meta_len) -> deterministic
+    per-payload features via an Arrow-batched mapInPandas kernel.
+
+    The kernel shape (bytes in -> fixed-width features out) is exactly
+    what a real decode/feature-extract stage looks like; numpy does the
+    per-batch work, no per-row Python objects beyond the byte buffers.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "mime": [],
+                "n_bytes": [],
+                "byte_entropy": [],
+                "payload_sha": [],
+            }
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(buf, minlength=256).astype(np.float64)
+                p = counts[counts > 0] / max(len(buf), 1)
+                entropy = float(-(p * np.log2(p)).sum()) if len(buf) else 0.0
+                out["doc_id"].append(int(doc_id))
+                out["mime"].append(mime)
+                out["n_bytes"].append(len(buf))
+                out["byte_entropy"].append(round(entropy, 6))
+                out["payload_sha"].append(hashlib.sha256(bytes(payload)).hexdigest())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(extract, FEATURES_SCHEMA)

@@ -1,0 +1,157 @@
+"""Embedding similarity search: brute-force and bucketed ANN.
+
+Two execution paths for cosine top-k over an ``array<float>`` column:
+
+* **Relational** (plans/contract_queries.q19/q20): ``zip_with`` +
+  ``aggregate`` dot products, window top-k — stays JVM-side, best when
+  k and the query set are small.
+* **Vectorized pandas UDF** (here): the query block is broadcast as a
+  numpy matrix; each Arrow batch of candidate vectors is scored with
+  one BLAS matmul. This is the path that wins when the query set is
+  large (matmul amortizes) — the per-batch cost is O(batch x dim x nq)
+  with numpy, ~100x faster than per-row Python.
+
+The IVF scale path: q20's coarse assignment buckets vectors by nearest
+centroid; searches then shuffle only their bucket (centroid id becomes
+the partition key), turning a full cross-join into per-bucket local
+top-k. ivf_topk below composes the two stages.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("qid", LongType(), False),
+        StructField("nid", LongType(), False),
+        StructField("cos", DoubleType(), False),
+    ]
+)
+
+
+def cosine_topk_pandas(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Brute-force cosine scores via numpy matmul inside mapInPandas,
+    then a window top-k. Queries = vec_id < n_queries (deterministic)."""
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            cand = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = (mat @ cand.T) / (
+                norms[:, None] * np.linalg.norm(cand, axis=1)[None, :]
+            )
+            qidx, cidx = np.nonzero(np.ones_like(sims, dtype=bool))
+            out = pd.DataFrame(
+                {
+                    "qid": ids[qidx],
+                    "nid": nids[cidx],
+                    "cos": np.round(sims[qidx, cidx], round_to),
+                }
+            )
+            yield out[out.qid != out.nid]
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(score, TOPK_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("qid", F.col("cos").desc(), "nid")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: assign vectors to their nearest centroid (coarse
+    quantizer = first n_centroids vectors, deterministic), then search
+    only the nprobe closest buckets per query. One shuffle on the
+    bucket id instead of a full cross-join."""
+    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    # coarse assignment (broadcast centroids)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cos("embedding", "ce").alias("c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    # probe buckets per query
+    w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            "cid",
+            cos("embedding", "ce").alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qe", "cid")
+    )
+    # bucket-local scoring: equi-join on cid (the one shuffle)
+    w_top = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        probes.join(assigned, on="cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cos(F.col("qe"), F.col("embedding")), 4).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("qid", F.col("cos").desc(), "nid")
+    )

@@ -53,7 +53,13 @@ def annotate(
     )
     chunks = chunks.repartition(nparts, "doc_id", "chunk_id")
 
-    cands = generate_candidates(chunks, cfg.max_kmer_len)
+    # Exact candidate pruning: k-mers with out-of-vocabulary tokens are
+    # provable dictionary misses (~20-50x fewer candidate rows). The
+    # model stages want the over-generated set, so pruning is off there.
+    vocab_bc = None
+    if cfg.vocab_prune and not cfg.use_model_stages:
+        vocab_bc = spark.sparkContext.broadcast(onto.vocab())
+    cands = generate_candidates(chunks, cfg.max_kmer_len, vocab_bc=vocab_bc)
     dict_df = dict_df if dict_df is not None else onto.dict_df(spark)
     linked = dictionary_link(cands, dict_df)
 

@@ -1,0 +1,1058 @@
+"""Driver-contract query registry (SURVEY.md §2 operator coverage +
+training-data pipeline operators), consumed by ``__spark_entry__.py``.
+
+Each entry pairs an idiomatic-Spark implementation with an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables; the driver compares
+row counts, schemas and order-insensitive value hashes at sf=0.01.
+Column names and float rounding are aligned on both sides by
+construction. Entries without an oracle (``ORACLES[name]`` absent) are
+non-SQL-expressible (pandas-UDF pipelines) and get rows-only checks.
+
+Coverage map (operator ids from SURVEY.md §2):
+  A2/A3 q01,q09  J1 q02  W1/A6 q03,q07  J4 q04  J3 q05  U4 q06
+  J6 q08  A1 q10  T9 q11  dedup q12,q16,q17,q18  text q13,q14,q15
+  ANN q19,q20,q21  dict-link J1/J4 q22  A8 q23  streaming-esque q24
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan / filter / agg / join / window / set ops / closure)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                            AS avg_qty,
+           COUNT(*)                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: predicate-pushdown scan + hash agg (A2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+    GROUP BY n.n_name, r.r_name
+    ORDER BY nation
+    """,
+)
+def q02(spark, sf_dir):
+    """Broadcast-hash join chain over small dims (J1 shape)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q03_top_customers_per_nation",
+    """
+    SELECT n_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT n.n_nationkey, c.c_custkey, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 3
+    ORDER BY n_nationkey, c_acctbal DESC, c_custkey
+    """,
+)
+def q03(spark, sf_dir):
+    """Top-k per group via window row_number (W1)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("n_nationkey", F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+_EVENT_INTERVALS_SQL = """
+      SELECT user_id,
+             floor(epoch(ts))::BIGINT AS start,
+             floor(epoch(ts))::BIGINT + floor(value * 60)::BIGINT AS "end"
+      FROM events
+"""
+
+
+def _event_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + (F.col("value") * 60).cast("bigint")).alias("end"),
+    )
+
+
+@register(
+    "q04_maximal_intervals",
+    f"""
+    WITH iv AS (SELECT DISTINCT * FROM ({_EVENT_INTERVALS_SQL}))
+    SELECT user_id, start, "end" FROM iv a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM iv b
+      WHERE b.user_id = a.user_id AND b.start <= a.start AND a."end" <= b."end"
+        AND (b.start != a.start OR b."end" != a."end")
+    )
+    ORDER BY user_id, start, "end"
+    """,
+)
+def q04(spark, sf_dir):
+    """J4 overlap resolution: single window pass vs quadratic oracle.
+    This is the exact operator the annotation pipeline uses for span
+    dedup (operators/spans.keep_maximal_spans)."""
+    from ..operators.spans import keep_maximal_spans
+
+    iv = _event_intervals(spark, sf_dir).distinct()
+    return keep_maximal_spans(iv, keys=["user_id"]).orderBy(
+        "user_id", "start", "end"
+    )
+
+
+@register(
+    "q05_containment_suppress",
+    f"""
+    WITH iv AS ({_EVENT_INTERVALS_SQL.replace('FROM events', ', event_type FROM events')})
+    SELECT user_id, start, "end" FROM iv a
+    WHERE a.event_type = 'view' AND NOT EXISTS (
+      SELECT 1 FROM iv b
+      WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        AND b.start <= a.start AND a."end" <= b."end"
+    )
+    ORDER BY user_id, start, "end"
+    """,
+)
+def q05(spark, sf_dir):
+    """J3 containment anti-join: 'view' intervals not inside any
+    'purchase' interval of the same user (pipeline's Step-1 suppressor)."""
+    from ..operators.spans import suppress_contained_in
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + (F.col("value") * 60).cast("bigint")).alias("end"),
+    )
+    probe = iv.filter(F.col("event_type") == "view").drop("event_type")
+    anchor = iv.filter(F.col("event_type") == "purchase").drop("event_type")
+    return suppress_contained_in(probe, anchor, keys=["user_id"]).select(
+        "user_id", "start", "end"
+    ).orderBy("user_id", "start", "end")
+
+
+@register(
+    "q06_customers_both_years",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    ORDER BY custkey
+    """,
+)
+def q06(spark, sf_dir):
+    """U4 set intersection."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1994).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+@register(
+    "q07_two_tier_argmax",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS best_order
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END,
+                        o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY custkey
+    """,
+)
+def q07(spark, sf_dir):
+    """A6 two-tier group-wise argmax (class-2-then-class-1 precedence
+    analog of the reference's re-ranker, util.py:825-830)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("best_order"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "q08_transitive_closure",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT 'N' || n_nationkey AS child, 'R' || n_regionkey AS parent FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), closure AS (
+      SELECT child AS node, parent AS anc FROM edges
+      UNION
+      SELECT c.node, e.parent
+      FROM closure c JOIN edges e ON c.anc = e.child
+    )
+    SELECT node, anc FROM closure ORDER BY node, anc
+    """,
+)
+def q08(spark, sf_dir):
+    """J6 transitive closure: iterative self-join to fixpoint (the
+    distributed form of the ontology ancestor closure)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("child"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("parent"),
+            )
+        )
+    )
+    from ..operators.closure import transitive_closure
+
+    return transitive_closure(edges).orderBy("node", "anc")
+
+
+@register(
+    "q09_micro_macro",
+    """
+    WITH per_cust AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             AVG(o.o_totalprice) AS cust_avg, COUNT(*) AS n, SUM(o.o_totalprice) AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           ROUND(SUM(s) / SUM(n), 2) AS micro_avg,
+           ROUND(AVG(cust_avg), 2)   AS macro_avg,
+           COUNT(*)                  AS n_customers
+    FROM per_cust GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def q09(spark, sf_dir):
+    """A2/A3 micro vs macro aggregation (two-level agg, one shuffle per
+    level; mirrors the eval harness's micro/macro P/R)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(
+            F.avg("o_totalprice").alias("cust_avg"),
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+    )
+    return (
+        per_cust.groupBy("nationkey")
+        .agg(
+            F.round(F.sum("s") / F.sum("n"), 2).alias("micro_avg"),
+            F.round(F.avg("cust_avg"), 2).alias("macro_avg"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q10_priority_distinct_custs",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q10(spark, sf_dir):
+    """A1 per-group distinct sets (count-distinct form)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup suite over ``documents`` (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_norm_keys",
+    r"""
+    SELECT doc_id,
+           list_aggr(list_sort(string_split_regex(
+             lower(array_to_string(string_split_regex(trim(text), '\s+')[1:6], ' ')),
+             '\s+')), 'string_agg', ' ') AS norm_key
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q11(spark, sf_dir):
+    """T9 sorted-bag normalization key over the first 6 tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.trim("text"), r"\s+"), 1, 6)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.transform(toks, F.lower)), " ").alias("norm_key"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q12_dedup_exact",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q12(spark, sf_dir):
+    """Exact dedup via content hash (hash-groupBy dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dup"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q13_token_stats",
+    r"""
+    SELECT lang,
+           SUM(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
+           ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+           SUM(n_chars)::BIGINT AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q13(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + char totals per lang."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(ntok).cast("bigint").alias("total_tokens"),
+            F.round(F.avg(ntok), 4).alias("avg_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+
+@register(
+    "q14_quality_scores",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(len(list_filter(toks, x -> list_contains({_QUALITY_STOPWORDS!r}, x)))
+                 / len(toks)::DOUBLE, 4) AS stopword_ratio,
+           ROUND(n_chars / len(toks)::DOUBLE, 4) AS chars_per_token
+    FROM t ORDER BY doc_id
+    """,
+)
+def q14(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length per doc."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    stop = F.array([F.lit(s) for s in _QUALITY_STOPWORDS])
+    nstop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(nstop / F.size(toks).cast("double"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars") / F.size(toks).cast("double"), 4).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+_LANG_LEXICON = {
+    "en": ["the", "and", "of", "to", "is", "table", "value", "row"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est", "dans"],
+}
+
+
+@register(
+    "q15_langid",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains({_LANG_LEXICON['en']!r}, x))) AS s_en,
+        len(list_filter(toks, x -> list_contains({_LANG_LEXICON['de']!r}, x))) AS s_de,
+        len(list_filter(toks, x -> list_contains({_LANG_LEXICON['es']!r}, x))) AS s_es,
+        len(list_filter(toks, x -> list_contains({_LANG_LEXICON['fr']!r}, x))) AS s_fr
+      FROM t
+    )
+    SELECT lang,
+      CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+           WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'unknown' END AS predicted,
+      COUNT(*) AS n
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q15(spark, sf_dir):
+    """Language-ID heuristic: lexicon-hit argmax with fixed precedence."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    df = d.select("doc_id", "lang", toks.alias("toks"))
+    for code, lex in _LANG_LEXICON.items():
+        arr = F.array([F.lit(x) for x in lex])
+        df = df.withColumn(
+            f"s_{code}", F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+        )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") > 0),
+            F.lit("de"),
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") > 0), F.lit("es"))
+        .when(F.col("s_fr") > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        df.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "q16_minhash_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(toks) - 2, 1))] AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5(s))) AS fp
+    FROM sh ORDER BY doc_id
+    """,
+)
+def q16(spark, sf_dir):
+    """Document fingerprint: MinHash-1 over 3-token shingles (md5 is the
+    portable hash; lexicographic min over hex digests)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    df = d.select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks") - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    )
+    return df.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, F.md5)).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def _minhash_cols():
+    """4 seeded minhash signatures as (spark_exprs, sql_exprs)."""
+    seeds = ["s1", "s2", "s3", "s4"]
+    sql = ",\n".join(
+        f"list_min(list_transform(shingles, s -> md5('{seed}' || s))) AS mh{i+1}"
+        for i, seed in enumerate(seeds)
+    )
+    return seeds, sql
+
+
+@register(
+    "q17_minhash_lsh_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ')
+              for i in generate_series(1, greatest(len(toks) - 2, 1))] AS shingles
+      FROM t
+    ), sig AS (
+      SELECT doc_id,
+             list_min(list_transform(shingles, s -> md5('s1' || s))) AS mh1,
+             list_min(list_transform(shingles, s -> md5('s2' || s))) AS mh2,
+             list_min(list_transform(shingles, s -> md5('s3' || s))) AS mh3,
+             list_min(list_transform(shingles, s -> md5('s4' || s))) AS mh4
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, md5(mh1 || mh2) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5(mh3 || mh4) AS band FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q17(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs: shingle -> 4 seeded
+    minhashes -> 2 bands of 2 -> bucket self-join (banding shuffle is on
+    the band key, so at scale only bucket-local pairs materialize)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    df = d.select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks") - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    )
+    def seeded_min(seed):
+        # NB: the lambda must take exactly ONE param — pyspark treats a
+        # two-param lambda as (element, index).
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s)))
+        )
+
+    sig = df.select(
+        "doc_id",
+        *[seeded_min(seed).alias(f"mh{i+1}")
+          for i, seed in enumerate(["s1", "s2", "s3", "s4"])],
+    )
+    # Materialize signatures once: the band union + self-join would
+    # otherwise re-evaluate the shingle/minhash expression tree 4x.
+    sig = sig.localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id", F.md5(F.concat("mh1", "mh2")).alias("band")
+    ).unionByName(sig.select("doc_id", F.md5(F.concat("mh3", "mh4")).alias("band")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(hs,
+          h -> CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f')
+               THEN 1 ELSE -1 END)) > 0 THEN {1 << (p - 1)} ELSE 0 END"""
+    for p in range(1, 17)
+)
+
+
+@register(
+    "q18_simhash",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> md5(x)) AS hs
+      FROM documents
+    )
+    SELECT doc_id, ({_SIMHASH_BITS_SQL})::BIGINT AS simhash
+    FROM t ORDER BY doc_id
+    """,
+)
+def q18(spark, sf_dir):
+    """SimHash-16: per-bit majority vote over token md5 hex digits.
+    Expressed with higher-order array functions — zero explode, zero
+    UDF, fully whole-stage-codegen."""
+    d = _t(spark, sf_dir, "documents")
+    hs = F.transform(F.split(F.lower(F.trim("text")), r"\s+"), F.md5)
+    df = d.select("doc_id", hs.alias("hs"))
+    high = F.array([F.lit(c) for c in "89abcdef"])
+    bit = lambda p: F.when(
+        F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.array_contains(high, F.substring(h, p, 1)), 1).otherwise(-1),
+        )
+        > 0,
+        F.lit(1 << (p - 1)),
+    ).otherwise(F.lit(0))
+    total = None
+    for p in range(1, 17):
+        total = bit(p) if total is None else total + bit(p)
+    return df.select("doc_id", total.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding / similarity suite
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+
+
+@register(
+    "q19_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a='q.qe', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 4)
+             AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY qid, cos DESC, nid
+    """,
+)
+def q19(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast the query set,
+    JVM-side zip_with/aggregate dot products, window top-k. The scale
+    path (IVF buckets) is q20; the pandas-UDF path is q92."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("nid"), "embedding"))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("qe"), F.col("embedding"))
+                / (
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                ),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("qid", F.col("cos").desc(), "nid")
+    )
+
+
+@register(
+    "q20_ivf_assign",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND({_DOT_SQL.format(a='c.ce', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 4)
+             AS cos
+      FROM embeddings e, c
+    )
+    SELECT cid, COUNT(*) AS n_assigned FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1 GROUP BY cid ORDER BY cid
+    """,
+)
+def q20(spark, sf_dir):
+    """IVF coarse assignment: nearest of 8 centroids per vector (the
+    bucketing stage of IVF ANN; within-bucket search is then local)."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = F.broadcast(c).crossJoin(e).select(
+        "vec_id",
+        "cid",
+        F.round(
+            dot(F.col("ce"), F.col("embedding"))
+            / (
+                F.sqrt(dot(F.col("ce"), F.col("ce")))
+                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            ),
+            4,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_assigned"))
+        .orderBy("cid")
+    )
+
+
+@register(
+    "q21_embed_norms",
+    f"""
+    SELECT label,
+           ROUND(AVG(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})), 4)
+             AS avg_norm,
+           COUNT(*) AS n
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q21(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.groupBy("label")
+        .agg(F.round(F.avg(F.sqrt(dot)), 4).alias("avg_norm"), F.count("*").alias("n"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational dictionary-linking showcase (the KG pipeline's J1+J4 on
+# the driver's documents table, fully SQL-expressible on both sides)
+# ---------------------------------------------------------------------------
+
+_DICT_TERMS = ["hash value", "fast merge", "table", "row", "sort", "window"]
+
+
+@register(
+    "q22_dict_match_maximal",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos::INT AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS tok,
+                           generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1)
+                           AS pos) t
+    ), grams AS (
+      SELECT doc_id, tok AS term, pos AS start_pos, pos AS end_pos FROM toks
+      UNION ALL
+      SELECT a.doc_id, a.tok || ' ' || b.tok, a.pos, b.pos
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), matches AS (
+      SELECT * FROM grams WHERE list_contains({_DICT_TERMS!r}, term)
+    )
+    SELECT doc_id, term, start_pos FROM matches m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM matches o
+      WHERE o.doc_id = m.doc_id AND o.start_pos <= m.start_pos
+        AND m.end_pos <= o.end_pos
+        AND (o.start_pos != m.start_pos OR o.end_pos != m.end_pos)
+    )
+    ORDER BY doc_id, start_pos, term
+    """,
+)
+def q22(spark, sf_dir):
+    """Dictionary linking J1 + maximal-span J4 expressed relationally:
+    posexplode tokens -> 1/2-gram candidates -> broadcast dict join ->
+    window-based containment dedup (same operators the HPO pipeline
+    uses, cross-checked by a pure-SQL oracle)."""
+    from ..operators.spans import keep_maximal_spans
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id", F.col("tok").alias("term"),
+        F.col("pos").alias("start_pos"), F.col("pos").alias("end_pos"),
+    ).unionByName(
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "nxt").alias("term"),
+            F.col("pos").alias("start_pos"),
+            (F.col("pos") + 1).alias("end_pos"),
+        )
+    )
+    dict_arr = F.array([F.lit(t) for t in _DICT_TERMS])
+    matches = grams.filter(F.array_contains(dict_arr, F.col("term"))).select(
+        "doc_id", "term",
+        F.col("start_pos").alias("start"), F.col("end_pos").alias("end"),
+    )
+    # de-dup identical (doc,start,end) then maximal spans (pipeline J4)
+    maximal = keep_maximal_spans(matches.distinct(), keys=["doc_id"])
+    return maximal.select(
+        "doc_id", "term", F.col("start").alias("start_pos")
+    ).orderBy("doc_id", "start_pos", "term")
+
+
+@register(
+    "q23_inverted_index",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos::INT AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                           AS tok,
+                           generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1)
+                           AS pos) t
+    ), grams AS (
+      SELECT doc_id, tok AS term FROM toks
+      UNION ALL
+      SELECT a.doc_id, a.tok || ' ' || b.tok
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT term, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+    FROM grams WHERE list_contains({_DICT_TERMS!r}, term)
+    GROUP BY term ORDER BY term
+    """,
+)
+def q23(spark, sf_dir):
+    """A8 inverted index build: term -> posting-list stats."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select("doc_id", F.col("tok").alias("term")).unionByName(
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("term"))
+    )
+    dict_arr = F.array([F.lit(t) for t in _DICT_TERMS])
+    return (
+        grams.filter(F.array_contains(dict_arr, F.col("term")))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "q24_event_hourly_rollup",
+    """
+    SELECT event_type,
+           epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q24(spark, sf_dir):
+    """Tumbling-window rollup (batch form of the Structured Streaming
+    windowed agg; same code runs under readStream + watermark —
+    streaming/incremental.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type", "hour_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible entries (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@register("q90_hpo_pipeline_fixture")
+def q90(spark, sf_dir):
+    """Full KG pipeline on the deterministic fixture corpus (pandas-UDF
+    candidate generation + broadcast dict join + window dedup). Not
+    SQL-expressible end-to-end; pytest covers its correctness (P/R=1.0
+    vs generated gold)."""
+    from ..config import PipelineConfig
+    from ..corpus import synthesize_corpus
+    from ..ontology import fixture_ontology
+    from ..pipeline import annotate
+
+    onto = fixture_ontology()
+    docs, _ = synthesize_corpus(spark, onto, n_docs=20)
+    return annotate(spark, docs, onto, PipelineConfig()).orderBy(
+        "doc_id", "start", "end", "hpo_id"
+    )
+
+
+@register("q91_multimodal_features")
+def q91(spark, sf_dir):
+    """Multimodal plumbing: documents.text cast to an opaque binary
+    column + typed metadata, then a mapInPandas feature extractor
+    (deterministic byte statistics standing in for an image/audio
+    decoder — the decode kernel itself is environment-gated, see
+    operators/multimodal.py)."""
+    from ..operators.multimodal import extract_binary_features
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.col("n_chars").alias("meta_len"),
+    )
+    return extract_binary_features(blobs).orderBy("doc_id")
+
+
+@register("q92_ann_pandas_udf", ORACLES.get("q19_cosine_topk"))
+def q92(spark, sf_dir):
+    """Vectorized pandas-UDF ANN: same task as q19 (brute-force cosine
+    top-3 for vec_id<5) but scored in numpy inside an Arrow batch —
+    validated against the SAME SQL oracle as q19."""
+    from ..operators.similarity import cosine_topk_pandas
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(spark, e, n_queries=5, k=3)

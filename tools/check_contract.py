@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet tables; compare row count, column names, and
+order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, round
+    floats, sort rows."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    import __spark_entry__ as entrymod
+    from phenobert_spark.config import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_rows)} rows, {el:.1f}s)")
+            continue
+        try:
+            con = fresh_con()
+            cur = con.execute(oracles[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+            con.close()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+            continue
+        if len(spark_rows) != len(duck_rows):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(spark_rows)} != {len(duck_rows)}")
+            continue
+        a = canon(spark_rows, spark_cols)
+        b = canon(duck_rows, duck_cols)
+        if a != b:
+            failures.append(name)
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, e.g. {diff}")
+            continue
+        print(f"ok   {name}: {len(spark_rows)} rows match ({el:.1f}s)")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all contract queries match")
+
+
+if __name__ == "__main__":
+    main()
