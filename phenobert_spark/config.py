@@ -33,6 +33,13 @@ class PipelineConfig:
     max_kmer_len: int = 10       # k-mer cap (util.py:1006)
     simple_dict_keys: bool = True  # ALSO index dictionary under stopword-simplified keys
     vocab_prune: bool = True     # exact OOV k-mer pruning in candidate gen
+    # model-analog stage thresholds (calibrated on the val corpus; the
+    # reference's p1/p2/p3 live in a different score space)
+    model_p1: float = 0.0        # L1 routing cosine (0 = route everywhere)
+    model_p2: float = 0.45       # concept centroid cosine floor (M3)
+    model_p3: float = 0.75       # bidirectional-alignment acceptance (M4)
+    model_topk: int = 10         # concepts per routed phrase (W1, util.py:1142)
+    model_max_tokens: int = 6    # longest phrase sent to the model stage
     # Skew handling: long documents are split into independent chunks at
     # sentence-safe boundaries before the candidate UDF (north rule:
     # explicit salting for skewed large-document partitions).

@@ -1,0 +1,238 @@
+"""Deterministic model-analog components (SURVEY.md §2.8 M1-M4).
+
+The reference's trained weights are missing blobs (its CNN/BERT stages
+cannot be bit-reproduced — SURVEY.md §7.4 risk 3), so the rebuild ships
+the same *architecture family* with deterministic, training-free
+parameters:
+
+* M1 fastText-embed analog — ``HashedEncoder``: signed feature-hashed
+  char 3-gram + whole-token embedding, L2-normalized, order-independent
+  across tokens (mirrors the sorted-bag philosophy of the dictionary
+  key). No weights to ship; identical on every run and every worker.
+* M2 L1 router analog — cosine against 25 L1-subtree centroid vectors,
+  multi-label select with threshold p1 (util.py:1104-1108 semantics).
+* M3 subtree scorer analog — cosine against per-concept centroid
+  vectors (mean of the concept's surface-form embeddings), top-k >= p2
+  within routed L1 subtrees (util.py:1136-1150).
+* M4 pair re-ranker analog — per (phrase, concept) fine score:
+  max over the concept's surfaces of a blend of char-ngram cosine and
+  token Jaccard; accept >= p3 (util.py:773-833's match-classifier role).
+
+Everything is numpy; scoring is one BLAS matmul per Arrow batch.
+The index (concept matrix + L1 mask + surfaces) is built once on the
+driver and broadcast (~30 MB for the full 14.4k-concept ontology).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.normalize import lemma
+from ..ontology import Ontology
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8"))
+
+
+class HashedEncoder:
+    """Signed feature hashing of char 3-grams (+ whole token), summed
+    over tokens, L2-normalized. Token-order independent."""
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+        self._token_cache: dict[str, np.ndarray] = {}
+
+    def _token_vec(self, tok: str) -> np.ndarray:
+        v = self._token_cache.get(tok)
+        if v is not None:
+            return v
+        v = np.zeros(self.dim, dtype=np.float32)
+        padded = f"<{tok}>"
+        # 3+4-gram features + low-weight whole-token feature: tuned for
+        # morphological-variant separation (close pairs >=0.6 cosine,
+        # unrelated pairs <=0.36 on the calibration word set)
+        feats = [(padded[i : i + 3], 1.0) for i in range(max(len(padded) - 2, 1))]
+        feats += [(padded[i : i + 4], 1.0) for i in range(max(len(padded) - 3, 1))]
+        feats.append(("##" + tok, 0.5))
+        for f, w in feats:
+            h = _crc(f)
+            sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
+            v[h % self.dim] += sign * w
+        n = np.linalg.norm(v)
+        if n > 0:
+            v /= n
+        if len(self._token_cache) < 200_000:
+            self._token_cache[tok] = v
+        return v
+
+    def encode(self, phrases: list[str]) -> np.ndarray:
+        """phrases: whitespace-joined simple tokens -> (n, dim) float32,
+        rows L2-normalized (zero rows stay zero)."""
+        out = np.zeros((len(phrases), self.dim), dtype=np.float32)
+        for r, p in enumerate(phrases):
+            toks = p.split()
+            if not toks:
+                continue
+            acc = np.zeros(self.dim, dtype=np.float32)
+            for t in toks:
+                acc += self._token_vec(t)
+            n = np.linalg.norm(acc)
+            if n > 0:
+                out[r] = acc / n
+        return out
+
+
+@dataclass
+class ConceptIndex:
+    """Driver-built, broadcast-ready linking index."""
+
+    dim: int
+    concept_ids: list[str]                 # row order of concept_mat
+    concept_mat: np.ndarray                # (n_concepts, dim) float32, normalized
+    l1_ids: list[str]
+    l1_mat: np.ndarray                     # (n_l1, dim) float32, normalized
+    concept_l1: np.ndarray                 # (n_concepts, n_l1) bool membership
+    surfaces: dict[str, list[str]]         # concept -> simple surface strings
+    surface_token_sets: dict[str, list[frozenset]]
+
+    @classmethod
+    def build(cls, onto: Ontology, dim: int = 512) -> "ConceptIndex":
+        from ..functions.normalize import process_str, simplify_tokens
+
+        enc = HashedEncoder(dim)
+        concept_ids = sorted(onto.names)
+        simple_surfaces: dict[str, list[str]] = {}
+        token_sets: dict[str, list[frozenset]] = {}
+        mats = []
+        for cid in concept_ids:
+            ss, ts = [], []
+            vecs = []
+            for s in onto.surfaces[cid]:
+                toks = simplify_tokens(process_str(s)) or process_str(s)
+                if not toks:
+                    continue
+                joined = " ".join(toks)
+                ss.append(joined)
+                ts.append(frozenset(toks))
+                vecs.append(enc.encode([joined])[0])
+            simple_surfaces[cid] = ss
+            token_sets[cid] = ts
+            if vecs:
+                m = np.mean(vecs, axis=0)
+                n = np.linalg.norm(m)
+                mats.append(m / n if n > 0 else m)
+            else:
+                mats.append(np.zeros(dim, dtype=np.float32))
+        concept_mat = np.vstack(mats).astype(np.float32)
+
+        l1_ids = sorted(onto.layer1)
+        cid_pos = {c: i for i, c in enumerate(concept_ids)}
+        concept_l1 = np.zeros((len(concept_ids), len(l1_ids)), dtype=bool)
+        l1_rows = []
+        for j, l1 in enumerate(l1_ids):
+            members = [m for m in onto.layer1[l1] if m in cid_pos]
+            for m in members:
+                concept_l1[cid_pos[m], j] = True
+            if members:
+                mvec = concept_mat[[cid_pos[m] for m in members]].mean(axis=0)
+                n = np.linalg.norm(mvec)
+                l1_rows.append(mvec / n if n > 0 else mvec)
+            else:
+                l1_rows.append(np.zeros(dim, dtype=np.float32))
+        # concepts with no L1 route stay reachable (routing must not
+        # silently drop ontology regions)
+        unrouted = ~concept_l1.any(axis=1)
+        if unrouted.any() and l1_ids:
+            concept_l1[unrouted, :] = True
+        l1_mat = (
+            np.vstack(l1_rows).astype(np.float32)
+            if l1_rows
+            else np.zeros((0, dim), dtype=np.float32)
+        )
+        return cls(
+            dim=dim,
+            concept_ids=concept_ids,
+            concept_mat=concept_mat,
+            l1_ids=l1_ids,
+            l1_mat=l1_mat,
+            concept_l1=concept_l1,
+            surfaces=simple_surfaces,
+            surface_token_sets=token_sets,
+        )
+
+
+_SURFACE_VEC_CACHE: dict[int, dict[str, np.ndarray]] = {}
+
+
+def _surface_mat(enc: HashedEncoder, concept_id: str, index: ConceptIndex) -> np.ndarray:
+    """Per-worker lazily cached (n_surfaces, dim) matrix per concept."""
+    cache = _SURFACE_VEC_CACHE.setdefault(id(index), {})
+    m = cache.get(concept_id)
+    if m is None:
+        m = enc.encode(index.surfaces[concept_id])
+        cache[concept_id] = m
+    return m
+
+
+def _token_sim(enc: HashedEncoder, a: str, b: str) -> float:
+    if a == b or lemma(a) == lemma(b):
+        return 1.0
+    return float(np.dot(enc._token_vec(a), enc._token_vec(b)))
+
+
+def pair_score(
+    enc: HashedEncoder,
+    phrase: str,
+    phrase_vec: np.ndarray,
+    concept_id: str,
+    index: ConceptIndex,
+) -> float:
+    """M4 analog: bidirectional fuzzy token alignment — the best surface
+    of the concept, scored as the WORST per-token best-match similarity
+    in both directions (every surface token must be witnessed by a
+    phrase token and vice versa). Spans that merely share a word score
+    low; morphological variants ("mutilating" ~ "mutilation") score
+    high. This is fuzzy dictionary containment, the high-precision
+    stand-in for the reference's trained match classifier."""
+    ptoks = phrase.split()
+    if not ptoks:
+        return 0.0
+    best = 0.0
+    for stoks in index.surface_token_sets[concept_id]:
+        if not stoks:
+            continue
+        stoks_l = list(stoks)
+        # every surface token needs a phrase witness
+        cover_s = min(
+            max(_token_sim(enc, s, p) for p in ptoks) for s in stoks_l
+        )
+        if cover_s <= best:
+            continue
+        # every phrase token needs a surface witness
+        cover_p = min(
+            max(_token_sim(enc, p, s) for s in stoks_l) for p in ptoks
+        )
+        score = min(cover_s, cover_p)
+        if score > best:
+            best = score
+    return best
+
+
+class RelaxedVocab:
+    """Candidate-pruning vocabulary for the model path: a token is
+    eligible if it, its lemma, or its 5-char prefix appears in the
+    dictionary vocabulary — keeps morphological variants ("mutilating"
+    ~ "mutilation") while still pruning filler k-mers."""
+
+    def __init__(self, base: frozenset[str]):
+        self.base = base
+        self.prefixes = frozenset(w[:5] for w in base if len(w) >= 5)
+
+    def __contains__(self, tok: str) -> bool:
+        if tok in self.base or lemma(tok) in self.base:
+            return True
+        return len(tok) >= 5 and tok[:5] in self.prefixes

@@ -48,9 +48,25 @@ from .functions.normalize import (
     process_str,
     simplify_tokens,
     sorted_bag_key,
+    stem_key_of,
 )
 
 ROOT = "HP:0000118"
+
+
+class PruneVocab:
+    """Token-eligibility predicate for exact candidate pruning (see
+    Ontology.prune_vocab). Implements ``in`` so the candidate generator
+    can treat it like a plain set."""
+
+    def __init__(self, base: frozenset[str], stems: frozenset[str]):
+        self.base = base
+        self.stems = stems
+
+    def __contains__(self, tok: str) -> bool:
+        from .functions.normalize import lemma, stem
+
+        return tok in self.base or lemma(tok) in self.base or stem(tok) in self.stems
 
 DICT_SCHEMA = StructType(
     [
@@ -90,6 +106,8 @@ class Ontology:
     phrase2hpo: dict[str, str]
     # simplified key -> hpo_id (stopword/num-simplified keys; recall extension)
     simple2hpo: dict[str, str]
+    # stemmed simplified key -> hpo_id (morphological-variant tier)
+    stem2hpo: dict[str, str]
     # alt id -> canonical id
     alt_ids: dict[str, str]
     # L1 routing partition: l1_id -> member hpo_ids
@@ -135,16 +153,23 @@ class Ontology:
         return self.alt_ids.get(hpo_id, hpo_id)
 
     def vocab(self) -> frozenset[str]:
-        """Every token appearing in any dictionary key (strict or
-        simplified). Used for exact candidate pruning: a k-mer with a
-        token outside this set (and whose lemma is outside it) can never
-        hit the dictionary join."""
+        """Every token appearing in any prio-0/1 dictionary key."""
         toks: set[str] = set()
         for key in self.phrase2hpo:
             toks.update(key.split())
         for key in self.simple2hpo:
             toks.update(key.split())
         return frozenset(toks)
+
+    def prune_vocab(self) -> "PruneVocab":
+        """Exact candidate-pruning predicate covering all three join
+        tiers: a k-mer can match some dictionary key only if every
+        token t has t∈V, lemma(t)∈V, or stem(t) in the stem-key token
+        set. Tokens failing all three are provable misses."""
+        stems: set[str] = set()
+        for key in self.stem2hpo:
+            stems.update(key.split())
+        return PruneVocab(self.vocab(), frozenset(stems))
 
     # -- Spark views ---------------------------------------------------------
 
@@ -161,6 +186,10 @@ class Ontology:
         for key, hpo in self.simple2hpo.items():
             if key not in self.phrase2hpo:
                 rows.append((key, hpo, 1))
+        # prio 2 is probed via the separate stem_key column — its key
+        # space is independent of prio 0/1, so no cross-tier dedup
+        for key, hpo in self.stem2hpo.items():
+            rows.append((key, hpo, 2))
         return spark.createDataFrame(rows, DICT_SCHEMA)
 
     def terms_df(self, spark: SparkSession) -> DataFrame:
@@ -198,6 +227,7 @@ def _ingest_pairs(
     surfaces: dict[str, list[str]] = {}
     phrase2hpo: dict[str, str] = {}
     simple2hpo: dict[str, str] = {}
+    stem2hpo: dict[str, str] = {}
     for phrase, hpo in pairs:
         if hpo not in names:
             names[hpo] = phrase.lower()
@@ -209,6 +239,7 @@ def _ingest_pairs(
         simple = simplify_tokens(toks)
         if simple:
             simple2hpo[sorted_bag_key(simple)] = hpo
+            stem2hpo[stem_key_of(simple)] = hpo
     depth = {ROOT: 0}
     for l1, members in layer1.items():
         depth[l1] = 1
@@ -221,6 +252,7 @@ def _ingest_pairs(
         surfaces=surfaces,
         phrase2hpo=phrase2hpo,
         simple2hpo=simple2hpo,
+        stem2hpo=stem2hpo,
         alt_ids=alt_ids or {},
         layer1=layer1,
         parents=parents,

@@ -52,6 +52,7 @@ from ..functions.normalize import (
     is_num,
     lemma,
     lemma_key_of,
+    stem_key_of,
     normalize_text_keep_len,
     simplify_tokens,
     sorted_bag_key,
@@ -74,6 +75,7 @@ CANDIDATES_SCHEMA = StructType(
         StructField("mention", StringType(), False),
         StructField("key", StringType(), False),
         StructField("lemma_key", StringType(), False),
+        StructField("stem_key", StringType(), False),
         StructField("n_tokens", IntegerType(), False),
         StructField("negated", BooleanType(), False),
     ]
@@ -191,6 +193,7 @@ def candidates_of_text(
                             text[start:end],
                             key,
                             lemma_key_of(key),
+                            stem_key_of(toks),
                             len(toks),
                             negated,
                         )
@@ -210,7 +213,7 @@ def generate_candidates(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab = vocab_bc.value if vocab_bc is not None else None
         cols = ["doc_id", "start", "end", "mention", "key", "lemma_key",
-                "n_tokens", "negated"]
+                "stem_key", "n_tokens", "negated"]
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, cstart, ctext in zip(

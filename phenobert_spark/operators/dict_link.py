@@ -4,7 +4,9 @@
 Two broadcast hash joins against the ontology surface-form dimension:
 
 1. exact sorted-bag key,
-2. lemma-fallback key for the misses (``coalesce`` of the two).
+2. lemma-fallback key for the misses,
+3. stemmed-key tier for the remaining misses (``coalesce`` of the
+   three; morphological-variant extension beyond the reference).
 
 The dictionary is ~48.6k rows (BASELINE.md) — a textbook broadcast
 dimension; Catalyst plans both joins as BroadcastHashJoin with zero
@@ -26,18 +28,31 @@ def dictionary_link(candidates: DataFrame, dict_df: DataFrame) -> DataFrame:
     composition of the reference's two-probe lookup.
     """
     d1 = F.broadcast(
-        dict_df.select(F.col("key").alias("_k1"), F.col("hpo_id").alias("_h1"))
+        dict_df.filter(F.col("prio") <= 1).select(
+            F.col("key").alias("_k1"), F.col("hpo_id").alias("_h1")
+        )
     )
     d2 = F.broadcast(
-        dict_df.select(F.col("key").alias("_k2"), F.col("hpo_id").alias("_h2"))
+        dict_df.filter(F.col("prio") <= 1).select(
+            F.col("key").alias("_k2"), F.col("hpo_id").alias("_h2")
+        )
+    )
+    d3 = F.broadcast(
+        dict_df.filter(F.col("prio") == 2).select(
+            F.col("key").alias("_k3"), F.col("hpo_id").alias("_h3")
+        )
     )
     out = (
         candidates.join(d1, F.col("key") == F.col("_k1"), "left")
         .join(d2, F.col("lemma_key") == F.col("_k2"), "left")
-        .withColumn("hpo_id", F.coalesce(F.col("_h1"), F.col("_h2")))
+        .join(d3, F.col("stem_key") == F.col("_k3"), "left")
+        .withColumn("hpo_id", F.coalesce(F.col("_h1"), F.col("_h2"), F.col("_h3")))
         .withColumn(
-            "score", F.when(F.col("hpo_id").isNotNull(), F.lit(1.0)).cast("double")
+            "score",
+            F.when(F.coalesce(F.col("_h1"), F.col("_h2")).isNotNull(), F.lit(1.0))
+            .when(F.col("_h3").isNotNull(), F.lit(0.9))
+            .cast("double"),
         )
-        .drop("_k1", "_h1", "_k2", "_h2")
+        .drop("_k1", "_h1", "_k2", "_h2", "_k3", "_h3")
     )
     return out

@@ -57,8 +57,15 @@ def annotate(
     # provable dictionary misses (~20-50x fewer candidate rows). The
     # model stages want the over-generated set, so pruning is off there.
     vocab_bc = None
-    if cfg.vocab_prune and not cfg.use_model_stages:
-        vocab_bc = spark.sparkContext.broadcast(onto.vocab())
+    if cfg.vocab_prune:
+        if cfg.use_model_stages:
+            # relaxed predicate: keep morphological variants for the
+            # fuzzy model stage (prefix-5 / lemma adjacency)
+            from .linking.models import RelaxedVocab
+
+            vocab_bc = spark.sparkContext.broadcast(RelaxedVocab(onto.vocab()))
+        else:
+            vocab_bc = spark.sparkContext.broadcast(onto.prune_vocab())
     cands = generate_candidates(chunks, cfg.max_kmer_len, vocab_bc=vocab_bc)
     dict_df = dict_df if dict_df is not None else onto.dict_df(spark)
     linked = dictionary_link(cands, dict_df)
@@ -68,7 +75,11 @@ def annotate(
     if cfg.use_model_stages:
         from .linking.infer import model_link
 
-        unmatched = linked.filter(F.col("hpo_id").isNull()).drop("hpo_id", "score")
+        unmatched = (
+            linked.filter(F.col("hpo_id").isNull())
+            .filter(F.col("n_tokens") <= cfg.model_max_tokens)
+            .drop("hpo_id", "score")
+        )
         # J3: skip candidates nested inside an already-matched span.
         survivors = suppress_contained_in(unmatched, matched)
         model_matched = model_link(spark, survivors, onto, cfg)

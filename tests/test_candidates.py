@@ -35,10 +35,10 @@ def test_conjunction_split_and_recovery():
 def test_negation_flag():
     cands = candidates_of_text("no seizures were observed.")
     by_key = {c[3]: c for c in cands}
-    assert by_key["seizures"][6] is True or by_key["seizures"][6] == True
+    assert by_key["seizures"][7] is True or by_key["seizures"][7] == True
     cands2 = candidates_of_text("frequent seizures observed.")
     by_key2 = {c[3]: c for c in cands2}
-    assert not by_key2["seizures"][6]
+    assert not by_key2["seizures"][7]
 
 
 def test_offsets_index_raw_text():

@@ -28,8 +28,8 @@ pytestmark = pytest.mark.skipif(
 
 # Floors measured on the dictionary-only path (see BENCH/BASELINE.md).
 FLOORS = {
-    "GSC+": {"micro_p": 0.76, "micro_r": 0.55, "micro_f1": 0.64},
-    "ID-68": {"micro_p": 0.95, "micro_r": 0.67, "micro_f1": 0.78},
+    "GSC+": {"micro_p": 0.75, "micro_r": 0.58, "micro_f1": 0.66},
+    "ID-68": {"micro_p": 0.93, "micro_r": 0.70, "micro_f1": 0.80},
 }
 
 

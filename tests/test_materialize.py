@@ -1,0 +1,91 @@
+"""Checkpoint / lineage / resume (north rule resumability)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from phenobert_spark.config import PipelineConfig
+from phenobert_spark.corpus import synthesize_corpus
+from phenobert_spark.materialize import (
+    completed_buckets,
+    read_manifest,
+    read_triples,
+    run_with_checkpoint,
+    verify_manifest,
+    write_nodes,
+)
+from phenobert_spark.pipeline import annotate
+
+
+@pytest.fixture()
+def corpus(spark, onto):
+    docs, gold = synthesize_corpus(spark, onto, n_docs=24)
+    return docs
+
+
+def test_resume_after_crash(spark, onto, corpus, tmp_path):
+    out = str(tmp_path / "graph")
+    cfg = PipelineConfig()
+    # crash after 3 buckets
+    r1 = run_with_checkpoint(
+        spark, corpus, onto, out, cfg, n_buckets=8, fail_after_buckets=3
+    )
+    assert r1["processed"] == 3
+    done_mid = completed_buckets(spark, out)
+    assert len(done_mid) == 3
+    # resume: must process ONLY the remaining buckets
+    r2 = run_with_checkpoint(spark, corpus, onto, out, cfg, n_buckets=8)
+    assert r2["resumed_from"] == 3
+    assert r2["processed"] == r2["pending_before"]
+    # final result equals a single-shot run
+    got = {
+        tuple(r)
+        for r in read_triples(spark, out)
+        .drop("bucket")
+        .select("doc_id", "hpo_id", "start", "end")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in annotate(spark, corpus, onto, cfg)
+        .select("doc_id", "hpo_id", "start", "end")
+        .collect()
+    }
+    assert got == want
+
+
+def test_rerun_is_noop(spark, onto, corpus, tmp_path):
+    out = str(tmp_path / "graph")
+    run_with_checkpoint(spark, corpus, onto, out, n_buckets=4)
+    n1 = read_triples(spark, out).count()
+    r = run_with_checkpoint(spark, corpus, onto, out, n_buckets=4)
+    assert r["processed"] == 0  # everything checkpointed
+    assert read_triples(spark, out).count() == n1  # no duplicate appends
+
+
+def test_manifest_lineage_detects_drift(spark, onto, corpus, tmp_path):
+    out = str(tmp_path / "graph")
+    run_with_checkpoint(spark, corpus, onto, out, n_buckets=4)
+    assert verify_manifest(spark, corpus, out, n_buckets=4).count() == 0
+    # mutate the corpus: drop a doc -> fingerprint must flip somewhere
+    drifted = corpus.limit(20)
+    assert verify_manifest(spark, drifted, out, n_buckets=4).count() > 0
+
+
+def test_manifest_metrics(spark, onto, corpus, tmp_path):
+    out = str(tmp_path / "graph")
+    run_with_checkpoint(spark, corpus, onto, out, n_buckets=4)
+    m = read_manifest(spark, out)
+    rows = m.collect()
+    assert sum(r.n_docs for r in rows) == 24
+    assert all(r.wall_sec > 0 for r in rows)
+    assert sum(r.n_triples for r in rows) == read_triples(spark, out).count()
+
+
+def test_node_tables(spark, onto, corpus, tmp_path):
+    out = str(tmp_path / "graph")
+    write_nodes(spark, corpus, onto, out)
+    docs_nodes = spark.read.parquet(f"{out}/nodes_docs")
+    hpo_nodes = spark.read.parquet(f"{out}/nodes_hpo")
+    assert docs_nodes.count() == 24
+    assert {f.name for f in docs_nodes.schema.fields} >= {"doc_id", "repo", "path"}
+    assert hpo_nodes.count() == len(onto.names)
