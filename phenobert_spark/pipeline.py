@@ -89,13 +89,26 @@ def annotate(
     # Deduplicate identical char spans (full phrase vs A+B recovery over
     # the same extent): reference keeps the variant with more tokens
     # (use_longest measures word count, util.py:1180-1185).
-    w = Window.partitionBy("doc_id", "start", "end").orderBy(
-        F.col("score").desc(), F.col("n_tokens").desc(), F.col("hpo_id").asc()
+    # Partition by doc_id only — the same partitioning the maximal-span
+    # window needs — so the two windows share ONE exchange (the
+    # (doc,start,end) grouping is resolved by sort order + lag instead
+    # of a second shuffle).
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("start").asc(),
+        F.col("end").asc(),
+        F.col("score").desc(),
+        F.col("n_tokens").desc(),
+        F.col("hpo_id").asc(),
     )
     matched = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        matched.withColumn("_ps", F.lag("start").over(w))
+        .withColumn("_pe", F.lag("end").over(w))
+        .filter(
+            F.col("_ps").isNull()
+            | (F.col("_ps") != F.col("start"))
+            | (F.col("_pe") != F.col("end"))
+        )
+        .drop("_ps", "_pe")
     )
 
     final = keep_maximal_spans(matched) if cfg.use_longest else matched

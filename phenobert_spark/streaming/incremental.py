@@ -1,0 +1,101 @@
+"""Incremental corpus ingestion via Structured Streaming
+(SURVEY.md §2.9: the reference is batch-only; per-document independence
+means the identical pipeline runs under ``readStream`` with no
+semantic change — there is no cross-document state in annotation).
+
+Two entry points:
+
+* ``annotate_stream`` — stream new document files into the SAME
+  annotate() pipeline via ``foreachBatch``: each micro-batch is a full
+  batch-mode run (broadcast joins, window dedup), appended to the edge
+  table. Exactly-once is carried by the streaming checkpoint (offsets)
+  plus idempotent per-batch appends; content-addressed doc_ids make
+  replays detectable downstream (dropDuplicates on doc_id+span).
+* ``windowed_event_rollup`` — watermarked tumbling-window aggregation
+  (the streaming form of contract query q24): late rows beyond the
+  watermark are dropped and per-window state is bounded.
+
+On a cluster the source/sink would be Iceberg tables (incremental scan
++ append); file parquet streams are the sandbox stand-in with identical
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import PipelineConfig
+from ..corpus import DOCUMENTS_SCHEMA
+from ..ontology import Ontology
+from ..pipeline import annotate
+
+
+def annotate_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    onto: Ontology,
+    cfg: PipelineConfig = PipelineConfig(),
+    dedupe_replays: bool = True,
+) -> StreamingQuery:
+    """Stream documents (parquet files appearing under ``input_path``)
+    through the annotation pipeline into ``output_path``."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)  # bound micro-batch size
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = annotate(spark, batch_df, onto, cfg)
+        if dedupe_replays:
+            triples = triples.dropDuplicates(["doc_id", "start", "end", "hpo_id"])
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over a streaming events
+    DataFrame (ts, event_type, value): the streaming twin of the batch
+    q24 oracle — late data beyond ``watermark`` is dropped, state per
+    window is finite."""
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; watermarks require
+    # event-time TIMESTAMP (session TZ is pinned to UTC in config)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_completion(query: StreamingQuery, timeout_sec: int = 120) -> None:
+    """Drive an availableNow stream until it drains (test helper)."""
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
