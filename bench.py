@@ -32,7 +32,8 @@ def main() -> None:
     spark = get_spark(app_name="phenobert-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + Python workers
+    # warm-up: JVM + Python workers + broadcast machinery (one tiny
+    # pipeline run so the flagship timing reflects steady state)
     spark.range(1_000_000).select(F.sum("id")).collect()
 
     timings: dict[str, float] = {}
@@ -54,6 +55,7 @@ def main() -> None:
         F.col("text").alias("content"),
     )
     n_docs = raw.count()
+    annotate(spark, docs.limit(64), onto, PipelineConfig()).count()  # warm-up
     run("hpo_annotate", lambda: annotate(spark, docs, onto, PipelineConfig()).count())
 
     headline = [

@@ -9,9 +9,11 @@ construction. Entries without an oracle (``ORACLES[name]`` absent) are
 non-SQL-expressible (pandas-UDF pipelines) and get rows-only checks.
 
 Coverage map (operator ids from SURVEY.md §2):
-  A2/A3 q01,q09  J1 q02  W1/A6 q03,q07  J4 q04  J3 q05  U4 q06
-  J6 q08  A1 q10  T9 q11  dedup q12,q16,q17,q18  text q13,q14,q15
+  A2/A3 q01,q09  J1 q02  W1/A6 q03,q07  J4 q04  J3 q05  U4 q06,q26
+  J6 q08  A1 q10  T9 q11  dedup q12,q16,q17,q18,q32,q33  text q13,q14,q15
   ANN q19,q20,q21  dict-link J1/J4 q22  A8 q23  streaming-esque q24
+  J2 q25  J7 q26  F6 q27  T1 q28  U2/U3/U5 q29  W5 q30
+  grouping-sets q31  pipeline/UDF rows-only q90,q91  UDF-vs-SQL q92
 """
 
 from __future__ import annotations
@@ -1056,3 +1058,313 @@ def q92(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_pandas(spark, e, n_queries=5, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Extended coverage: J2, J7, F6, T1/T7, U-ops, W5, grouping sets,
+# embedding near-dup, n-gram Jaccard (SURVEY.md §2 long tail)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q25_altid_canonicalize",
+    """
+    WITH alt(alt_id, canon) AS (VALUES ('signup', 'click'), ('error', 'view'))
+    SELECT COALESCE(a.canon, e.event_type) AS canonical_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events e LEFT JOIN alt a ON e.event_type = a.alt_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q25(spark, sf_dir):
+    """J2 alt-id canonicalization: broadcast left join + coalesce (the
+    exact shape of canonicalize.canonicalize_ids)."""
+    ev = _t(spark, sf_dir, "events")
+    alt = spark.createDataFrame(
+        [("signup", "click"), ("error", "view")], "alt_id string, canon string"
+    )
+    return (
+        ev.join(F.broadcast(alt), ev.event_type == alt.alt_id, "left")
+        .withColumn("canonical_type", F.coalesce("canon", "event_type"))
+        .groupBy("canonical_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("canonical_type")
+    )
+
+
+@register(
+    "q26_boolean_index_query",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    a AS (SELECT doc_id FROM toks WHERE tok = 'table'),
+    b AS (SELECT doc_id FROM toks WHERE tok = 'window'),
+    c AS (SELECT doc_id FROM toks WHERE tok = 'hash')
+    SELECT 'table AND window' AS q, COUNT(*) AS n_docs
+    FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+    UNION ALL
+    SELECT 'table OR hash', COUNT(*)
+    FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM c)
+    UNION ALL
+    SELECT 'window NOT hash', COUNT(*)
+    FROM (SELECT doc_id FROM b EXCEPT SELECT doc_id FROM c)
+    ORDER BY q
+    """,
+)
+def q26(spark, sf_dir):
+    """J7/U4 boolean search over an inverted index: posting-list
+    intersect / union / except (reference
+    gene_reviews_search_engine.py:30-44)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).distinct()
+    a = toks.filter(F.col("tok") == "table").select("doc_id")
+    b = toks.filter(F.col("tok") == "window").select("doc_id")
+    c = toks.filter(F.col("tok") == "hash").select("doc_id")
+    rows = [
+        ("table AND window", a.intersect(b)),
+        ("table OR hash", a.union(c).distinct()),
+        ("window NOT hash", b.exceptAll(b.join(c, "doc_id", "left_semi"))),
+    ]
+    out = None
+    for label, df in rows:
+        one = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(label).alias("q"), "n_docs"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("q")
+
+
+@register(
+    "q27_negation_flag",
+    r"""
+    SELECT lang,
+           SUM(CASE WHEN len(list_intersect(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 ['no','not','none','negative','non','never'])) > 0
+               THEN 1 ELSE 0 END) AS n_negated,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q27(spark, sf_dir):
+    """F6 negation-cue predicate as a relational flag (pipeline flags
+    clauses; here doc-level for the SQL oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    neg = F.array(*[F.lit(w) for w in ["no", "not", "none", "negative", "non", "never"]])
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    flag = F.size(F.array_intersect(toks, neg)) > 0
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.when(flag, 1).otherwise(0)).alias("n_negated"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q28_type_notation_regex",
+    r"""
+    SELECT lang,
+           SUM(length(text) - length(regexp_replace(text, '([A-Z])-([0-9])', '\1\2', 'g')))::BIGINT
+             AS chars_removed,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q28(spark, sf_dir):
+    """T1 type-notation normalization ("B-12" -> "B12") expressed with
+    capture groups (portable to RE2-based engines without lookarounds)."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace("text", r"([A-Z])-([0-9])", r"$1$2")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.length("text") - F.length(cleaned)).cast("bigint").alias("chars_removed"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q29_array_setops",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_distinct(toks[1:len(toks)//2])) AS n_first_half,
+           len(list_intersect(list_distinct(toks[1:len(toks)//2]),
+                              list_distinct(toks[len(toks)//2+1:len(toks)]))) AS n_shared
+    FROM t ORDER BY doc_id
+    """,
+)
+def q29(spark, sf_dir):
+    """U2/U3/U5 array set operations (distinct-union, intersect) as
+    higher-order functions — zero explode, zero UDF."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    df = d.select("doc_id", toks.alias("toks"))
+    half = (F.size("toks") / 2).cast("int")
+    first = F.array_distinct(F.slice("toks", F.lit(1), half))
+    second = F.array_distinct(
+        F.slice(F.col("toks"), half + 1, F.size("toks") - half)
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(first).alias("n_first_half"),
+        F.size(F.array_intersect(first, second)).alias("n_shared"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q30_rank_exploded_scores",
+    """
+    SELECT vec_id, dim_idx, val, rnk FROM (
+      SELECT e.vec_id,
+             u.i::INT AS dim_idx,
+             ROUND(u.v::DOUBLE, 4) AS val,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(u.v::DOUBLE, 4) DESC, u.i ASC) AS rnk
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS v,
+                           generate_subscripts(e.embedding, 1) AS i) u
+      WHERE e.vec_id < 20
+    ) WHERE rnk <= 2 ORDER BY vec_id, rnk
+    """,
+)
+def q30(spark, sf_dir):
+    """W5 rank over exploded score vectors (torch.topk analog done
+    relationally: posexplode + window)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("dim_idx"),
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("val").desc(), F.col("dim_idx").asc())
+    return (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("vec_id", "rnk")
+    )
+
+
+@register(
+    "q31_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(yr, -1) AS yr,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM (SELECT o_orderpriority, year(o_orderdate) AS yr, o_totalprice FROM orders)
+    GROUP BY GROUPING SETS ((o_orderpriority), (yr), ())
+    ORDER BY priority, yr
+    """,
+)
+def q31(spark, sf_dir):
+    """Multi-granularity aggregation via GROUPING SETS (the rebuild's
+    one-pass form of the reference's micro+macro double pass)."""
+    o = _t(spark, sf_dir, "orders")
+    o.select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr"), "o_totalprice"
+    ).createOrReplaceTempView("_q31_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(yr, -1) AS yr,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM _q31_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (yr), ())
+        ORDER BY priority, yr
+        """
+    )
+
+
+@register(
+    "q32_embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+             * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def q32(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup family's
+    embedding member; threshold chosen to be non-trivial on the
+    synthetic vectors)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.35)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q33_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+             AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q33(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs (n-gram Jaccard family)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+    t = d.select("doc_id", toks.alias("toks"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("_j", inter / union)
+        .filter(F.col("_j") >= 0.2)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
