@@ -190,7 +190,12 @@ class Ontology:
         # space is independent of prio 0/1, so no cross-tier dedup
         for key, hpo in self.stem2hpo.items():
             rows.append((key, hpo, 2))
-        return spark.createDataFrame(rows, DICT_SCHEMA)
+        # Arrow path: ~95k-row driver-side dimension; plain
+        # createDataFrame(list-of-tuples) costs seconds per call
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["key", "hpo_id", "prio"])
+        return spark.createDataFrame(pdf, DICT_SCHEMA)
 
     def terms_df(self, spark: SparkSession) -> DataFrame:
         alt_by_canon: dict[str, list[str]] = {}

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the invariant-heavy kernels.
+
+These run WITHOUT Spark: the pure-Python cores are the same code the
+Arrow UDFs execute, so properties proven here hold inside the cluster
+kernels too (plus tests/test_spans.py proves the window formulations
+equal their brute-force oracles on random inputs).
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from phenobert_spark.corpus import split_sentence_safe
+from phenobert_spark.functions.normalize import (
+    lemma,
+    normalize_text_keep_len,
+    process_str,
+    sorted_bag_key,
+    stem,
+)
+from phenobert_spark.operators.candidates import candidates_of_text
+
+_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,;-()/'\n\tàéñü",
+    max_size=400,
+)
+_token = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_normalize_preserves_length(t):
+    assert len(normalize_text_keep_len(t)) == len(t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_candidate_offsets_slice_raw_text(t):
+    for start, end, mention, *_ in candidates_of_text(t):
+        assert t[start:end] == mention
+        assert 0 <= start < end <= len(t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text, st.integers(min_value=8, max_value=64))
+def test_chunker_partitions_text_exactly(t, target):
+    chunks = split_sentence_safe(t, target)
+    assert "".join(c for _, c in chunks) == t
+    pos = 0
+    for cstart, ctext in chunks:
+        assert cstart == pos
+        pos += len(ctext)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_token, min_size=1, max_size=8))
+def test_sorted_bag_key_order_insensitive(tokens):
+    import random
+
+    shuffled = tokens[:]
+    random.Random(0).shuffle(shuffled)
+    assert sorted_bag_key(tokens) == sorted_bag_key(shuffled)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_token)
+def test_lemma_and_stem_idempotent_enough(tok):
+    # stems never grow and always keep >= 1 char; lemma is stable
+    assert len(stem(tok)) <= len(tok)
+    assert len(stem(tok)) >= 1
+    assert lemma(lemma(tok)) == lemma(lemma(lemma(tok)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_process_str_tokens_lowercase_no_specials(t):
+    for tok in process_str(t):
+        assert tok == tok.lower()
+        assert "\t" not in tok and "\n" not in tok and " " not in tok
+
+
+@settings(max_examples=100, deadline=None)
+@given(_text)
+def test_candidates_deterministic(t):
+    assert candidates_of_text(t) == candidates_of_text(t)
