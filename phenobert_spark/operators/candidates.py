@@ -147,8 +147,12 @@ def candidates_of_text(
     seen: set[tuple[int, int, str]] = set()
     out: list[tuple[int, int, str, str, str, int, bool]] = []
     for clause in _clauses(tokens):
-        negated = any(t[0] in NEGATIVE_WORDS for t in clause)
         for phrase in _conjunction_phrases(clause):
+            # negation granularity: per conjunction-free phrase — the
+            # reference's fallback path splits on and/or BEFORE flagging
+            # (util.py:946-954), so "headache and no ataxia" negates
+            # only the ataxia side
+            negated = any(t[0] in NEGATIVE_WORDS for t in phrase)
             simple: list[_Tok] = []
             for t, s, e in phrase:
                 repl = simplify_tokens([t])
