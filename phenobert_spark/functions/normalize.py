@@ -129,6 +129,8 @@ def process_str(s: str) -> list[str]:
 
 
 def is_num(s: str) -> bool:
+    if s.isalpha():  # fast path: the overwhelmingly common case
+        return False
     try:
         float(s)
         return True

@@ -62,11 +62,27 @@ class PruneVocab:
     def __init__(self, base: frozenset[str], stems: frozenset[str]):
         self.base = base
         self.stems = stems
+        self._memo: dict[str, bool] = {}
 
     def __contains__(self, tok: str) -> bool:
+        hit = self._memo.get(tok)
+        if hit is not None:
+            return hit
         from .functions.normalize import lemma, stem
 
-        return tok in self.base or lemma(tok) in self.base or stem(tok) in self.stems
+        out = tok in self.base or lemma(tok) in self.base or stem(tok) in self.stems
+        if len(self._memo) < 500_000:
+            self._memo[tok] = out
+        return out
+
+    def __getstate__(self):
+        # broadcast without the worker-local memo
+        return {"base": self.base, "stems": self.stems}
+
+    def __setstate__(self, state):
+        self.base = state["base"]
+        self.stems = state["stems"]
+        self._memo = {}
 
 DICT_SCHEMA = StructType(
     [

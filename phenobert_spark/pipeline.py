@@ -38,6 +38,7 @@ def annotate(
     onto: Ontology,
     cfg: PipelineConfig = PipelineConfig(),
     dict_df: DataFrame | None = None,
+    vocab_bc=None,
 ) -> DataFrame:
     """documents(repo, path, commit, lang, content) -> triples DF.
 
@@ -56,8 +57,7 @@ def annotate(
     # Exact candidate pruning: k-mers with out-of-vocabulary tokens are
     # provable dictionary misses (~20-50x fewer candidate rows). The
     # model stages want the over-generated set, so pruning is off there.
-    vocab_bc = None
-    if cfg.vocab_prune:
+    if vocab_bc is None and cfg.vocab_prune:
         if cfg.use_model_stages:
             # relaxed predicate: keep morphological variants for the
             # fuzzy model stage (prefix-5 / lemma adjacency)
