@@ -628,47 +628,15 @@ def _minhash_cols():
     """,
 )
 def q17(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs: shingle -> 4 seeded
-    minhashes -> 2 bands of 2 -> bucket self-join (banding shuffle is on
-    the band key, so at scale only bucket-local pairs materialize)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    df = d.select("doc_id", toks.alias("toks"))
-    n = F.greatest(F.size("toks") - 2, F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
-    )
-    def seeded_min(seed):
-        # NB: the lambda must take exactly ONE param — pyspark treats a
-        # two-param lambda as (element, index).
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s)))
-        )
+    """MinHash+LSH near-duplicate candidate pairs via the first-class
+    dedup operators (operators/dedup.py): shingle -> 4 seeded minhashes
+    -> 2 bands of 2 -> bucket self-join (banding shuffle is on the band
+    key, so at scale only bucket-local pairs materialize)."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    sig = df.select(
-        "doc_id",
-        *[seeded_min(seed).alias(f"mh{i+1}")
-          for i, seed in enumerate(["s1", "s2", "s3", "s4"])],
-    )
-    # Materialize signatures once: the band union + self-join would
-    # otherwise re-evaluate the shingle/minhash expression tree 4x.
-    sig = sig.localCheckpoint(eager=False)
-    bands = sig.select(
-        "doc_id", F.md5(F.concat("mh1", "mh2")).alias("band")
-    ).unionByName(sig.select("doc_id", F.md5(F.concat("mh3", "mh4")).alias("band")))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, n_hashes=4, shingle_w=3)
+    return lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
 _SIMHASH_BITS_SQL = " + ".join(
@@ -693,27 +661,12 @@ _SIMHASH_BITS_SQL = " + ".join(
     """,
 )
 def q18(spark, sf_dir):
-    """SimHash-16: per-bit majority vote over token md5 hex digits.
-    Expressed with higher-order array functions — zero explode, zero
-    UDF, fully whole-stage-codegen."""
+    """SimHash-16 via the first-class dedup operator (per-bit majority
+    vote over token md5 hex digits — zero explode, zero UDF)."""
+    from ..operators.dedup import simhash
+
     d = _t(spark, sf_dir, "documents")
-    hs = F.transform(F.split(F.lower(F.trim("text")), r"\s+"), F.md5)
-    df = d.select("doc_id", hs.alias("hs"))
-    high = F.array([F.lit(c) for c in "89abcdef"])
-    bit = lambda p: F.when(
-        F.aggregate(
-            "hs",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.array_contains(high, F.substring(h, p, 1)), 1).otherwise(-1),
-        )
-        > 0,
-        F.lit(1 << (p - 1)),
-    ).otherwise(F.lit(0))
-    total = None
-    for p in range(1, 17):
-        total = bit(p) if total is None else total + bit(p)
-    return df.select("doc_id", total.cast("bigint").alias("simhash")).orderBy("doc_id")
+    return simhash(d, n_bits=16).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1353,18 +1306,8 @@ def q32(spark, sf_dir):
     """,
 )
 def q33(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs (n-gram Jaccard family)."""
+    """Token-set Jaccard near-dup pairs via operators/dedup.jaccard_pairs."""
+    from ..operators.dedup import jaccard_pairs
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
-    t = d.select("doc_id", toks.alias("toks"))
-    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("_j", inter / union)
-        .filter(F.col("_j") >= 0.2)
-        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")

@@ -1,0 +1,49 @@
+"""Physical-plan regression tests: the plan properties the engine is
+designed around must not silently rot (SURVEY.md §4)."""
+
+import pyspark.sql.functions as F
+
+from phenobert_spark.config import PipelineConfig
+from phenobert_spark.corpus import synthesize_corpus
+from phenobert_spark.pipeline import annotate
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_annotate_plan_shape(spark, onto):
+    """All dictionary joins broadcast; no sort-merge join; exactly two
+    data shuffles (salt repartition + the shared doc_id window)."""
+    docs, _ = synthesize_corpus(spark, onto, n_docs=5)
+    plan = _formatted_plan(spark, annotate(spark, docs, onto, PipelineConfig()))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 dict tiers + alt-id
+    # data exchanges (detail headers "(N) Exchange"), excluding broadcasts
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
+    assert n_exchanges <= 2, plan
+
+
+def test_parquet_filter_pushdown(spark):
+    """q01's shipdate predicate must reach the parquet scan."""
+    from phenobert_spark.plans.contract_queries import QUERIES
+
+    df = QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(spark, df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_parquet_column_pruning(spark):
+    """A two-column projection must not scan all lineitem columns."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _formatted_plan(spark, df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" not in read_schema
