@@ -94,6 +94,21 @@ def windowed_event_rollup(
     )
 
 
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Stateful cross-batch exact dedup: content-addressed doc_id with
+    streaming ``dropDuplicates`` — the state store remembers every seen
+    doc_id across micro-batches, so a document replayed in a later file
+    (a re-crawl, a retry) is emitted exactly once.
+
+    State is unbounded by design here (content hashes are the dedup
+    universe); bound it with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` when ingestion time is available.
+    """
+    return docs.withColumn("doc_id", F.sha2(F.col("content"), 256)).dropDuplicates(
+        ["doc_id"]
+    )
+
+
 def run_stream_to_completion(query: StreamingQuery, timeout_sec: int = 120) -> None:
     """Drive an availableNow stream until it drains (test helper)."""
     query.awaitTermination(timeout_sec)

@@ -86,3 +86,40 @@ def test_windowed_rollup_streaming_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert got <= want
     assert len(got) > 0 or events.count() == 0
+
+
+def test_stateful_cross_batch_dedup(spark, onto, tmp_path):
+    """A document replayed in a later micro-batch is emitted once: the
+    dropDuplicates state store spans batches via the checkpoint."""
+    from phenobert_spark.corpus import DOCUMENTS_SCHEMA
+    from phenobert_spark.streaming.incremental import dedup_stream
+
+    docs, _ = synthesize_corpus(spark, onto, n_docs=6)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    docs.limit(4).write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(in_dir)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    drain()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 4
+    # wave 2 REPLAYS two old docs + brings two new ones
+    docs.limit(2).write.mode("append").parquet(in_dir)       # replays
+    docs.subtract(docs.limit(4)).write.mode("append").parquet(in_dir)  # new
+    drain()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 6                       # replays suppressed
+    assert out.select("doc_id").distinct().count() == 6
