@@ -78,6 +78,7 @@ CANDIDATES_SCHEMA = StructType(
         StructField("stem_key", StringType(), False),
         StructField("n_tokens", IntegerType(), False),
         StructField("negated", BooleanType(), False),
+        StructField("gappy", BooleanType(), False),
     ]
 )
 
@@ -113,14 +114,27 @@ def _conjunction_phrases(clause: list[_Tok]) -> list[list[_Tok]]:
             cur.append(tok)
     if cur:
         parts.append(cur)
-    phrases = list(parts)
+    # each phrase is (tokens, junction): junction = index of the first
+    # token that is NOT char-contiguous with its predecessor (a recovered
+    # elision), or None for plain contiguous phrases.
+    phrases: list[tuple[list[_Tok], int | None]] = [(p, None) for p in parts]
     if len(parts) == 2:
         a, b = parts
         if len(a) >= 1 and len(b) == 1:
-            phrases.append(a[:-1] + b)
+            if len(a) > 1:
+                phrases.append((a[:-1] + b, len(a) - 1))
         elif len(a) == 1 and len(b) >= 1:
-            phrases.append(a + b[1:])
-    return [p for p in phrases if p]
+            phrases.append((a + b[1:], 1))
+    if len(parts) >= 2:
+        # n-ary head distribution (engine extension beyond the
+        # reference's 2-part rule): "axial and appendicular hypotonia"
+        # -> "axial hypotonia"; the shared head noun of the LAST part is
+        # appended to each earlier conjunct.
+        head = parts[-1][-1]
+        for p in parts[:-1]:
+            if p and p[-1][0] != head[0]:
+                phrases.append((p + [head], len(p)))
+    return [(p, j) for p, j in phrases if p]
 
 
 def candidates_of_text(
@@ -147,17 +161,19 @@ def candidates_of_text(
     seen: set[tuple[int, int, str]] = set()
     out: list[tuple[int, int, str, str, str, int, bool]] = []
     for clause in _clauses(tokens):
-        for phrase in _conjunction_phrases(clause):
+        for phrase, junction in _conjunction_phrases(clause):
             # negation granularity: per conjunction-free phrase — the
             # reference's fallback path splits on and/or BEFORE flagging
             # (util.py:946-954), so "headache and no ataxia" negates
             # only the ataxia side
             negated = any(t[0] in NEGATIVE_WORDS for t in phrase)
             simple: list[_Tok] = []
-            for t, s, e in phrase:
+            simple_src: list[int] = []  # original phrase index per simple token
+            for pi_idx, (t, s, e) in enumerate(phrase):
                 repl = simplify_tokens([t])
                 if repl:
                     simple.append((" ".join(repl), s, e))
+                    simple_src.append(pi_idx)
             if not simple:
                 continue
             whole = " ".join(t for t, _, _ in simple)
@@ -186,6 +202,10 @@ def candidates_of_text(
                     end = kmer[-1][2]
                     toks = [t for t, _, _ in kmer]
                     key = sorted_bag_key(toks)
+                    gappy = (
+                        junction is not None
+                        and simple_src[i] < junction <= simple_src[i + j]
+                    )
                     sig = (start, end, key)
                     if sig in seen:
                         continue
@@ -200,6 +220,7 @@ def candidates_of_text(
                             stem_key_of(toks),
                             len(toks),
                             negated,
+                            gappy,
                         )
                     )
     return out
@@ -217,7 +238,7 @@ def generate_candidates(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab = vocab_bc.value if vocab_bc is not None else None
         cols = ["doc_id", "start", "end", "mention", "key", "lemma_key",
-                "stem_key", "n_tokens", "negated"]
+                "stem_key", "n_tokens", "negated", "gappy"]
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, cstart, ctext in zip(

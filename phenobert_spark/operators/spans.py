@@ -40,12 +40,31 @@ def _prev_max_end(partition_cols: list[str]) -> "F.Column":
     return F.max("end").over(w)
 
 
-def keep_maximal_spans(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def keep_maximal_spans(
+    df: DataFrame, keys: list[str] | None = None, gappy_col: str | None = None
+) -> DataFrame:
     """J4 (use_longest=True): drop every span strictly contained in
     another span of the same document. Input must be unique on
-    (doc_id, start, end) — pre-aggregate duplicates first."""
+    (doc_id, start, end) — pre-aggregate duplicates first.
+
+    ``gappy_col``: optional boolean column marking conjunction-recovered
+    spans whose char extent covers tokens they do not contain (elision
+    recovery, candidates.py). The reference compares token-POSITION sets
+    (util.py:261-269), under which sibling conjuncts are never subsets —
+    so gappy spans must not act as CONTAINERS here (they can still be
+    dropped when contained in a contiguous span)."""
     keys = keys or ["doc_id"]
-    prev = _prev_max_end(keys)
+    if gappy_col is None:
+        prev = _prev_max_end(keys)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("start").asc(), F.col("end").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max(
+            F.when(~F.col(gappy_col), F.col("end"))
+        ).over(w)
     return (
         df.withColumn("_pme", prev)
         .filter(F.col("_pme").isNull() | (F.col("end") > F.col("_pme")))

@@ -80,8 +80,11 @@ def annotate(
             .filter(F.col("n_tokens") <= cfg.model_max_tokens)
             .drop("hpo_id", "score")
         )
-        # J3: skip candidates nested inside an already-matched span.
-        survivors = suppress_contained_in(unmatched, matched)
+        # J3: skip candidates nested inside an already-matched span
+        # (gappy recovered spans don't contain what they don't cover).
+        survivors = suppress_contained_in(
+            unmatched, matched.filter(~F.col("gappy"))
+        )
         model_matched = model_link(spark, survivors, onto, cfg)
         if model_matched is not None:
             matched = matched.unionByName(model_matched.select(*matched.columns))
@@ -111,7 +114,11 @@ def annotate(
         .drop("_ps", "_pe")
     )
 
-    final = keep_maximal_spans(matched) if cfg.use_longest else matched
+    final = (
+        keep_maximal_spans(matched, gappy_col="gappy")
+        if cfg.use_longest
+        else matched
+    )
     triples = final.select(
         "doc_id",
         F.lit("has_phenotype").alias("pred"),
