@@ -84,6 +84,21 @@ CANDIDATES_SCHEMA = StructType(
 
 _Tok = tuple[str, int, int]
 
+# k-mer keys repeat heavily across documents (Zipfian phrases); derived
+# keys are pure functions of the sorted-bag key, so memoize per worker.
+_KEY_MEMO: dict[str, tuple[str, str]] = {}
+
+
+def _derived_keys(key: str) -> tuple[str, str]:
+    hit = _KEY_MEMO.get(key)
+    if hit is not None:
+        return hit
+    toks = key.split()
+    out = (lemma_key_of(key), stem_key_of(toks))
+    if len(_KEY_MEMO) < 1_000_000:
+        _KEY_MEMO[key] = out
+    return out
+
 
 def _clauses(tokens: list[_Tok]) -> list[list[_Tok]]:
     out: list[list[_Tok]] = []
@@ -202,6 +217,7 @@ def candidates_of_text(
                     end = kmer[-1][2]
                     toks = [t for t, _, _ in kmer]
                     key = sorted_bag_key(toks)
+                    lemma_key, stem_key = _derived_keys(key)
                     gappy = (
                         junction is not None
                         and simple_src[i] < junction <= simple_src[i + j]
@@ -216,8 +232,8 @@ def candidates_of_text(
                             chunk_start + end,
                             text[start:end],
                             key,
-                            lemma_key_of(key),
-                            stem_key_of(toks),
+                            lemma_key,
+                            stem_key,
                             len(toks),
                             negated,
                             gappy,

@@ -57,14 +57,26 @@ def minhash_signatures(
     """(id, mh1..mhN): per-document MinHash signature. Seeded md5 is the
     hash family — deterministic, portable, no UDF."""
     sh = _shingles(F.col(text_col), shingle_w)
+    names = [f"mh{i+1}" for i in range(n_hashes)]
+    seeds = [f"s{i+1}" for i in range(n_hashes)]
+    # ONE traversal of the shingle array computing every seeded min via a
+    # struct accumulator: separate array_min(transform(...)) expressions
+    # would each re-tokenize and re-shingle the text (the lambdas block
+    # common-subexpression elimination).
+    init = F.struct(*[F.lit("~").alias(n) for n in names])  # '~' > any hex
 
-    def seeded_min(seed: str):
-        # one-param lambda ONLY: pyspark treats a two-param lambda in
-        # transform() as (element, index)
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(seed), s))))
+    def step(acc, s):
+        return F.struct(
+            *[
+                F.least(acc[n], F.md5(F.concat(F.lit(seed), s))).alias(n)
+                for n, seed in zip(names, seeds)
+            ]
+        )
 
-    cols = [seeded_min(f"s{i+1}").alias(f"mh{i+1}") for i in range(n_hashes)]
-    return df.select(F.col(id_col).alias("doc_id"), *cols)
+    agg = F.aggregate(sh, init, step)
+    return df.select(
+        F.col(id_col).alias("doc_id"), *[agg[n].alias(n) for n in names]
+    )
 
 
 def lsh_candidate_pairs(
