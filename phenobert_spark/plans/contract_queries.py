@@ -1311,3 +1311,57 @@ def q33(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     return jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q34_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS t
+      FROM events
+    ), marked AS (
+      SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > 1800 OR LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                       IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), sessions AS (
+      SELECT user_id, t,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(t) - MIN(t) AS duration_s
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q34(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag -> boundary
+    flag -> running sum = session id -> per-session rollup. The batch
+    twin of a stateful streaming session window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
