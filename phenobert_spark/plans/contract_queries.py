@@ -1098,7 +1098,7 @@ def q26(spark, sf_dir):
            SUM(CASE WHEN len(list_intersect(
                  string_split_regex(lower(trim(text)), '\s+'),
                  ['no','not','none','negative','non','never'])) > 0
-               THEN 1 ELSE 0 END) AS n_negated,
+               THEN 1 ELSE 0 END)::BIGINT AS n_negated,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -1327,8 +1327,8 @@ def q33(spark, sf_dir):
       FROM e
     ), sessions AS (
       SELECT user_id, t,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             (SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
       FROM marked
     )
     SELECT user_id, session_id,

@@ -22,6 +22,56 @@ TABLES = [
 ]
 
 
+def _type_class(t):
+    """Collapse an Arrow type into the coarse class the driver's typed
+    value-hash distinguishes: all <=64-bit ints hash alike, but
+    HUGEINT/DECIMAL (e.g. DuckDB SUM over BIGINT) does not."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "i64"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "f64"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_class(t.value_type)}>"
+    return str(t)
+
+
+def _spark_type_class(dt):
+    """Same coarse classes for a Spark SQL type."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i64"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("float", "double"):
+        return "f64"
+    if s == "boolean":
+        return "bool"
+    if s == "string":
+        return "str"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s == "date":
+        return "date"
+    if s.startswith("array<"):
+        from pyspark.sql.types import ArrayType
+
+        if isinstance(dt, ArrayType):
+            return f"list<{_spark_type_class(dt.elementType)}>"
+    return s
+
+
 def canon(rows, cols):
     """Order-insensitive canonical form: sort columns by name, round
     floats, sort rows."""
@@ -79,9 +129,12 @@ def main():
             continue
         try:
             con = fresh_con()
-            cur = con.execute(oracles[name])
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            duck_cols = tbl.column_names
+            duck_types = {f.name: _type_class(f.type) for f in tbl.schema}
+            duck_rows = [
+                tuple(row[c] for c in duck_cols) for row in tbl.to_pylist()
+            ]
             con.close()
         except Exception as exc:
             failures.append(name)
@@ -90,6 +143,16 @@ def main():
         if sorted(spark_cols) != sorted(duck_cols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+            continue
+        spark_types = {f.name: _spark_type_class(f.dataType) for f in df.schema.fields}
+        type_diffs = {
+            c: (spark_types[c], duck_types[c])
+            for c in spark_cols
+            if spark_types[c] != duck_types[c]
+        }
+        if type_diffs:
+            failures.append(name)
+            print(f"FAIL {name}: type mismatch (spark, duckdb): {type_diffs}")
             continue
         if len(spark_rows) != len(duck_rows):
             failures.append(name)
