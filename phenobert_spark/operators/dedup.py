@@ -11,7 +11,13 @@ functions and the driver value-checks them):
 * ``lsh_candidate_pairs``— banding + bucket self-join (the scale path:
   only same-band pairs materialize, never the full cross-join).
 * ``simhash``            — n-bit majority-vote fingerprint.
-* ``jaccard_pairs``      — token-set Jaccard above a threshold.
+* ``hamming_neighbors_banded`` — pigeonhole bit-band equi-join (scale
+  path for Hamming-radius pairs; exact superset, never a cross join).
+* ``jaccard_pairs``      — token-set Jaccard above a threshold
+  (brute-force oracle twin; O(n^2), small-n only).
+* ``jaccard_pairs_prefix`` — exact PPJoin prefix-filtered similarity
+  join (the Jaccard scale path; equi-join on rarest-first prefix
+  tokens, identical output to the twin).
 
 Scale notes: signatures/fingerprints are one narrow pass per document.
 The LSH join shuffles on the band hash — at 10^12 docs the band key
@@ -109,14 +115,17 @@ def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 16,
+    n_bits: int = 63,
 ) -> DataFrame:
     """(id, simhash BIGINT): per-bit majority vote over token md5 hex
     digits, expressed with aggregate() — zero explode.
 
-    n_bits caps at 63 (BIGINT). 16 bits saturates quickly on short
-    same-vocabulary documents (birthday collisions by ~500 docs) — use
-    32-63 in production; 16 is the oracle-checked contract default."""
+    The library default is 63 bits (the widest that fits a signed
+    BIGINT without touching the sign bit): 16 bits saturates quickly on
+    short same-vocabulary documents (birthday collisions by ~500 docs —
+    tests/test_dedup.py pins the saturation contrast). The oracle-checked
+    contract query q18 passes n_bits=16 explicitly to keep its DuckDB
+    twin small."""
     hs = F.transform(F.split(F.lower(F.trim(text_col)), r"\s+"), F.md5)
     out = df.select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
     high = F.array([F.lit(c) for c in "89abcdef"])
@@ -137,7 +146,11 @@ def simhash(
 
 
 def hamming_neighbors(fingerprints: DataFrame, max_dist: int = 2) -> DataFrame:
-    """SimHash pairs within a Hamming radius (bit_count of XOR)."""
+    """SimHash pairs within a Hamming radius (bit_count of XOR).
+
+    SMALL-N / ORACLE ONLY: this is an O(n^2) non-equi self-join kept as
+    the brute-force twin for correctness checks. The scale path is
+    ``hamming_neighbors_banded`` (equi-join, identical output)."""
     a = fingerprints.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
     )
@@ -152,12 +165,76 @@ def hamming_neighbors(fingerprints: DataFrame, max_dist: int = 2) -> DataFrame:
     )
 
 
+def hamming_neighbors_banded(
+    fingerprints: DataFrame, max_dist: int = 2, n_bits: int = 16
+) -> DataFrame:
+    """Scale path for ``hamming_neighbors``: pigeonhole banding.
+
+    Split the ``n_bits`` fingerprint into ``max_dist + 1`` contiguous
+    bit-bands. Any pair within Hamming distance ``max_dist`` differs in
+    at most ``max_dist`` bits, so by pigeonhole it agrees EXACTLY on at
+    least one band -> equi-join on (band_idx, band_bits) is a guaranteed
+    superset of the answer (exact, not probabilistic). Verify survivors
+    with bit_count(sa ^ sb). One narrow explode per side, one shuffle on
+    the band key; never a cross join — at 10^12 docs the O(n^2) form is
+    impossible while this is a plain equi-join whose bucket sizes are
+    bounded by fingerprint collisions (AQE skew-split handles heavy
+    buckets).
+
+    Output is identical to ``hamming_neighbors`` (pytest pins equality;
+    contract q36 value-matches the all-pairs DuckDB oracle).
+    """
+    n_bands = max_dist + 1
+    width = -(-n_bits // n_bands)  # ceil
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_bits"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = fingerprints.select(
+        "doc_id", "simhash", F.explode(bands).alias("b")
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_bits")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sa"),
+        "band_idx",
+        "band_bits",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+        "band_idx",
+        "band_bits",
+    )
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()  # a pair may collide on several bands
+        .withColumn("dist", F.bit_count(F.expr("sa ^ sb")))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
 ) -> DataFrame:
+    """Token-set Jaccard pairs above ``threshold``.
+
+    SMALL-N / ORACLE ONLY: O(n^2) non-equi self-join kept as the
+    brute-force twin. The scale path is ``jaccard_pairs_prefix``
+    (PPJoin-style prefix filter, identical output)."""
     toks = F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
     t = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
@@ -166,6 +243,79 @@ def jaccard_pairs(
     union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Scale path for ``jaccard_pairs``: exact prefix-filtered set
+    similarity join (AllPairs/PPJoin family — Bayardo et al. WWW'07).
+
+    Sort each document's token set by a global total order (ascending
+    document frequency, ties by token — rarest first minimizes
+    candidates). If Jaccard(a, b) >= t, then |a ∩ b| >= ceil(t * |a|),
+    so a and b MUST share at least one token among each one's first
+    ``|s| - ceil(t * |s|) + 1`` tokens: the candidate equi-join on
+    prefix tokens is a guaranteed superset (exact, not probabilistic).
+    Survivors are verified with the same intersect/union expression as
+    the brute-force twin, so outputs are identical (contract q35
+    value-matches the all-pairs DuckDB oracle).
+
+    Shuffles: one agg for token frequencies, one window per doc for the
+    prefix rank, one equi-join on token, two hash joins back to the
+    token sets for verification. No cross join anywhere — this survives
+    10^12 docs where the O(n^2) twin cannot. Frequent-token prefix
+    buckets are bounded by the rarest-first order; AQE skew-split
+    handles the residue. Epsilon guards on ceil()/length-filter only
+    ever LENGTHEN the prefix (keeps the superset guarantee under
+    floating-point rounding).
+    """
+    eps = 1e-9
+    toks = F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
+    t = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    exploded = t.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
+    )
+    freq = exploded.groupBy("tok").agg(F.count("*").alias("df_cnt"))
+    w = Window.partitionBy("doc_id").orderBy("df_cnt", "tok")
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    prefix = (
+        exploded.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sz", "tok")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"), "tok"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
+            & (F.col("szb") >= F.lit(threshold) * F.col("sza") - eps)
+            & (F.col("sza") >= F.lit(threshold) * F.col("szb") - eps)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))

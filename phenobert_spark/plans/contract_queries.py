@@ -14,6 +14,8 @@ Coverage map (operator ids from SURVEY.md §2):
   ANN q19,q20,q21  dict-link J1/J4 q22  A8 q23  streaming-esque q24
   J2 q25  J7 q26  F6 q27  T1 q28  U2/U3/U5 q29  W5 q30
   grouping-sets q31  pipeline/UDF rows-only q90,q91  UDF-vs-SQL q92
+  scale-path twins: q35 (PPJoin prefix Jaccard == q33 oracle),
+  q36 (pigeonhole-banded Hamming), q37 (IVF full-probe == q19 oracle)
 """
 
 from __future__ import annotations
@@ -1364,4 +1366,102 @@ def q34(spark, sf_dir):
             (F.max("t") - F.min("t")).alias("duration_s"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q35_jaccard_prefix",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+             AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q35(spark, sf_dir):
+    """Scale path of q33: exact PPJoin prefix-filtered Jaccard join
+    (operators/dedup.jaccard_pairs_prefix). Same DuckDB all-pairs
+    oracle as q33 — the prefix equi-join is a guaranteed superset, so
+    the verified output is value-identical with no cross join in the
+    plan (tests/test_plans.py pins that)."""
+    from ..operators.dedup import jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return jaccard_pairs_prefix(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q36_hamming_banded",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> md5(x)) AS hs
+      FROM documents
+    ), fp AS (
+      SELECT doc_id, ({_SIMHASH_BITS_SQL})::BIGINT AS simhash FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q36(spark, sf_dir):
+    """Scale path for Hamming-radius near-dup pairs: pigeonhole
+    bit-band equi-join (operators/dedup.hamming_neighbors_banded)
+    value-checked against the DuckDB all-pairs oracle. max_dist=2 over
+    the 16-bit contract simhash -> 3 bands; any pair within the radius
+    agrees exactly on >=1 band, so the equi-join is an exact superset."""
+    from ..operators.dedup import hamming_neighbors_banded, simhash
+
+    d = _t(spark, sf_dir, "documents")
+    fp = simhash(d, n_bits=16)
+    return (
+        hamming_neighbors_banded(fp, max_dist=2, n_bits=16)
+        .withColumn("dist", F.col("dist").cast("bigint"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q37_ivf_full_probe",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a='q.qe', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 4)
+             AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY qid, cos DESC, nid
+    """,
+)
+def q37(spark, sf_dir):
+    """IVF ANN (operators/similarity.ivf_topk) at nprobe = n_centroids:
+    probing every bucket makes IVF exactly equal to brute force, so the
+    q19 oracle doubles as the IVF correctness gate (the pytest exactness
+    property promoted to the driver contract). At scale nprobe <<
+    n_centroids turns the cross join into one bucket-key equi-join."""
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(spark, e, q, n_centroids=8, k=3, nprobe=8).orderBy(
+        "qid", F.col("cos").desc(), "nid"
     )

@@ -5,7 +5,9 @@ import pyspark.sql.functions as F
 from phenobert_spark.operators.dedup import (
     exact_dedup,
     hamming_neighbors,
+    hamming_neighbors_banded,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
@@ -50,7 +52,7 @@ def test_lsh_pairs_contain_duplicates(spark):
 
 
 def test_simhash_and_hamming(spark):
-    fp = simhash(_docs(spark))
+    fp = simhash(_docs(spark), n_bits=16)
     vals = {r.doc_id: r.simhash for r in fp.collect()}
     assert vals[1] == vals[2]
     assert 0 <= vals[1] < (1 << 16)
@@ -70,3 +72,63 @@ def test_jaccard_pairs(spark):
     assert pairs[(1, 2)] == 1.0
     assert 0.5 <= pairs[(1, 3)] < 1.0
     assert (1, 6) not in pairs
+
+
+def _corpus(spark, n=80):
+    """Deterministic word-set corpus with heavy vocabulary overlap so
+    near-dup pairs exist at every threshold."""
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(vocab[j % 30] for j in range(i, i + 12 + (i % 5))))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hamming_banded_equals_bruteforce(spark):
+    """Pigeonhole banding is exact: identical output to the O(n^2) twin."""
+    fp = simhash(_corpus(spark), n_bits=16)
+    for max_dist in (1, 2, 4):
+        brute = _pairs(hamming_neighbors(fp, max_dist=max_dist))
+        banded = _pairs(hamming_neighbors_banded(fp, max_dist=max_dist, n_bits=16))
+        assert banded == brute and len(brute) > 0
+
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    """PPJoin prefix filter is exact: identical output to the O(n^2) twin."""
+    d = _corpus(spark)
+    for thr in (0.2, 0.5, 0.8):
+        brute = _pairs(jaccard_pairs(d, threshold=thr))
+        prefix = _pairs(jaccard_pairs_prefix(d, threshold=thr))
+        assert prefix == brute and len(brute) > 0
+
+
+def test_scale_paths_have_no_cross_join(spark):
+    """The banded/prefix scale paths must plan as equi-joins — never a
+    cartesian product or nested-loop join (the 10^12-doc criterion)."""
+    fp = simhash(_corpus(spark), n_bits=16)
+    for df in (
+        hamming_neighbors_banded(fp, max_dist=2, n_bits=16),
+        jaccard_pairs_prefix(_corpus(spark), threshold=0.2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_default_63_bits(spark):
+    """Library default is 63 bits; 16-bit fingerprints saturate (small
+    distances between unrelated docs) while 63-bit ones stay far apart."""
+    d = _docs(spark)
+    fp63 = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    assert all(0 <= v < (1 << 63) for v in fp63.values())
+    assert fp63[1] == fp63[2]  # identical text, identical fingerprint
+    fp16 = {r.doc_id: r.simhash for r in simhash(d, n_bits=16).collect()}
+    dist63 = bin(fp63[1] ^ fp63[6]).count("1")
+    dist16 = bin(fp16[1] ^ fp16[6]).count("1")
+    assert dist63 > dist16  # deterministic md5 -> stable pin
+    assert dist63 >= 16     # unrelated docs are far apart at 63 bits
