@@ -7,10 +7,14 @@ Two entry points:
 
 * ``annotate_stream`` — stream new document files into the SAME
   annotate() pipeline via ``foreachBatch``: each micro-batch is a full
-  batch-mode run (broadcast joins, window dedup), appended to the edge
-  table. Exactly-once is carried by the streaming checkpoint (offsets)
-  plus idempotent per-batch appends; content-addressed doc_ids make
-  replays detectable downstream (dropDuplicates on doc_id+span).
+  batch-mode run (broadcast joins, window dedup). End-to-end
+  exactly-once = the streaming checkpoint (source offsets) + an
+  IDEMPOTENT sink: output is partitioned by ``batch_id`` and each
+  batch dynamically OVERWRITES its own partition, so a batch replayed
+  after a crash between the data write and the offset commit replaces
+  its partial output instead of appending duplicates (foreachBatch
+  redelivers the same batch_id on replay — that id is the idempotency
+  key).
 * ``windowed_event_rollup`` — watermarked tumbling-window aggregation
   (the streaming form of contract query q24): late rows beyond the
   watermark are dropped and per-window state is bounded.
@@ -55,9 +59,15 @@ def annotate_stream(
         triples = annotate(spark, batch_df, onto, cfg)
         if dedupe_replays:
             triples = triples.dropDuplicates(["doc_id", "start", "end", "hpo_id"])
+        # Idempotent replay: overwrite ONLY this batch's partition. The
+        # per-write option (not the session conf) matters here —
+        # foreachBatch hands over a DataFrame bound to a cloned session,
+        # so a conf set on the outer session wouldn't reach this write.
         (
             triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_path)
         )
 

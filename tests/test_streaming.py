@@ -123,3 +123,38 @@ def test_stateful_cross_batch_dedup(spark, onto, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 6                       # replays suppressed
     assert out.select("doc_id").distinct().count() == 6
+
+
+def test_replayed_batch_overwrites_not_appends(spark, onto, tmp_path):
+    """Crash between the sink write and the offset commit => the batch
+    is redelivered with the SAME batch_id. The partition-overwrite sink
+    must replace the prior output, not append duplicates. Simulated by
+    wiping the checkpoint so the availableNow stream replays batch 0."""
+    import shutil
+
+    docs, _ = synthesize_corpus(spark, onto, n_docs=8)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("append").parquet(in_dir)
+
+    q = annotate_stream(spark, in_dir, out_dir, ckpt, onto, PipelineConfig())
+    run_stream_to_completion(q)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "hpo_id", "start", "end")
+        .collect()
+    )
+    assert len(first) > 0
+
+    shutil.rmtree(ckpt)  # lose the offset commit -> full replay
+    q = annotate_stream(spark, in_dir, out_dir, ckpt, onto, PipelineConfig())
+    run_stream_to_completion(q)
+    replayed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "hpo_id", "start", "end")
+        .collect()
+    )
+    assert replayed == first  # no duplicate rows from the replay
