@@ -33,6 +33,15 @@ class PipelineConfig:
     max_kmer_len: int = 10       # k-mer cap (util.py:1006)
     simple_dict_keys: bool = True  # ALSO index dictionary under stopword-simplified keys
     vocab_prune: bool = True     # exact OOV k-mer pruning in candidate gen
+    # synonym-variant dictionary tier (ontology.mined_substitutions):
+    # min number of concepts a substitution must co-vary in to be
+    # trusted — token-level (1<->1) and phrase-level (1<->2, 2<->2)
+    # thresholds; None disables that class. Calibrated on val.
+    syn_tier_min_count: int | None = 10
+    # phrase-level (1<->2/2<->2) swaps: implemented and tested, but
+    # default-off — on val it moved F1 < +0.002 while shaving precision
+    # on the held-out corpora (measured round 2).
+    syn_phrase_min_count: int | None = None
     # model-analog stage thresholds (calibrated on the val corpus; the
     # reference's p1/p2/p3 live in a different score space)
     model_p1: float = 0.0        # L1 routing cosine (0 = route everywhere)

@@ -177,6 +177,87 @@ class Ontology:
             toks.update(key.split())
         return frozenset(toks)
 
+    def mined_substitutions(
+        self, min_count: int = 10, phrase_min_count: int | None = None
+    ) -> list[tuple[frozenset[str], frozenset[str]]]:
+        """Substitution pairs mined from the ontology itself: two token
+        groups are substitutable if surface forms OF THE SAME CONCEPT
+        differ by exactly that swap (simplified lemma space), recurring
+        across enough concepts.
+
+        * 1<->1 token pairs at ``min_count`` ("broad"~"wide" x79,
+          "decreased"~"reduced" x30, "kidney"~"renal" x18 ...),
+        * 1<->2 / 2<->2 phrase pairs at ``phrase_min_count``
+          ("csf"~"cerebrospinal fluid", "hallux"~"big toe",
+          "deafness"~"hearing loss", "mandible"~"jaw lower" ...).
+
+        The reference resolves such synonymy with its trained CNN/BERT
+        stages (model.py:359-432); those weights are missing blobs, but
+        the shipped surface forms carry the same signal — no external
+        data involved. Pairs are DIRECT edges (no transitive closure):
+        each dictionary variant applies a single mined swap, so
+        "abnormality"~"anomaly" and "anomaly"~"malformation" never
+        chain into unmined combinations.
+        """
+        cached = self.__dict__.setdefault("_syn_cache", {})
+        ck = (min_count, phrase_min_count)
+        if ck in cached:
+            return cached[ck]
+        from collections import Counter
+
+        from .functions.normalize import is_num, lemma, simplify_tokens
+
+        def mine(simplify: bool, want_pair: bool) -> Counter:
+            counts: Counter = Counter()
+            for surfaces in self.surfaces.values():
+                bags: list[frozenset[str]] = []
+                seen: set[frozenset[str]] = set()
+                for s in surfaces:
+                    toks = process_str(s)
+                    if simplify:
+                        toks = simplify_tokens(toks)
+                    bag = frozenset(lemma(t) for t in toks)
+                    if bag and bag not in seen:
+                        seen.add(bag)
+                        bags.append(bag)
+                for i in range(len(bags)):
+                    for j in range(i + 1, len(bags)):
+                        da, db = bags[i] - bags[j], bags[j] - bags[i]
+                        is_pair = len(da) == 1 and len(db) == 1
+                        if (
+                            is_pair == want_pair
+                            and 1 <= len(da) <= 2
+                            and 1 <= len(db) <= 2
+                            and all(
+                                len(t) >= 3 and "/" not in t and not is_num(t)
+                                for t in set(da) | set(db)
+                            )
+                        ):
+                            counts[
+                                tuple(
+                                    sorted((da, db), key=lambda s: tuple(sorted(s)))
+                                )
+                            ] += 1
+            return counts
+
+        out: list[tuple[frozenset[str], frozenset[str]]] = []
+        # 1<->1 pairs mined on RAW lemma bags (stopwords kept): the
+        # stricter bag identity keeps the pair set conservative —
+        # measured +1.4 precision on val vs simplified-bag mining.
+        for (a, b), n in mine(simplify=False, want_pair=True).items():
+            if n >= min_count:
+                out.append((a, b))
+                out.append((b, a))
+        # phrase (1<->2 / 2<->2) pairs need the simplified space: the
+        # extra stopword tokens otherwise push every diff over 2 tokens.
+        if phrase_min_count is not None:
+            for (a, b), n in mine(simplify=True, want_pair=False).items():
+                if n >= phrase_min_count:
+                    out.append((a, b))
+                    out.append((b, a))
+        cached[ck] = out
+        return out
+
     def prune_vocab(self) -> "PruneVocab":
         """Exact candidate-pruning predicate covering all three join
         tiers: a k-mer can match some dictionary key only if every
@@ -189,12 +270,24 @@ class Ontology:
 
     # -- Spark views ---------------------------------------------------------
 
-    def dict_df(self, spark: SparkSession) -> DataFrame:
+    def dict_df(
+        self,
+        spark: SparkSession,
+        syn_min_count: int | None = None,
+        syn_phrase_min_count: int | None = None,
+    ) -> DataFrame:
         """The broadcast dictionary dimension for the J1 equi-join.
 
         One row per unique key; strict keys win over simplified keys,
         later insertions win within a priority class (dict-overwrite
         semantics of util.py:324-327).
+
+        ``syn_min_count``: when set, adds prio-3 rows — single-token
+        synonym substitutions of every key in LEMMA space (probed by the
+        candidates' existing lemma_key column), using pairs mined by
+        :meth:`synonym_pairs`. Variants that collide with the existing
+        lemma probe space or map ambiguously to several concepts are
+        dropped.
         """
         rows = []
         for key, hpo in self.phrase2hpo.items():
@@ -206,6 +299,35 @@ class Ontology:
         # space is independent of prio 0/1, so no cross-tier dedup
         for key, hpo in self.stem2hpo.items():
             rows.append((key, hpo, 2))
+        if syn_min_count is not None:
+            from .functions.normalize import lemma
+
+            subs = self.mined_substitutions(syn_min_count, syn_phrase_min_count)
+            # trigger-token index: pair (A -> B) is only tried on keys
+            # containing min(A), so variant generation is O(keys x
+            # tokens-per-key x pairs-per-trigger), not O(keys x pairs)
+            by_trigger: dict[str, list[tuple[frozenset, frozenset]]] = {}
+            for a, b in subs:
+                by_trigger.setdefault(min(a), []).append((a, b))
+            base = {}
+            for key, hpo in self.phrase2hpo.items():
+                base[key] = hpo
+            for key, hpo in self.simple2hpo.items():
+                base.setdefault(key, hpo)
+            lemma_space = set()
+            for key in base:
+                lemma_space.add(" ".join(sorted(lemma(t) for t in key.split())))
+            variants: dict[str, set[str]] = {}
+            for key, hpo in base.items():
+                lbag = {lemma(t) for t in key.split()}
+                for tok in lbag:
+                    for a, b in by_trigger.get(tok, ()):
+                        if a <= lbag:
+                            v = " ".join(sorted((lbag - a) | b))
+                            variants.setdefault(v, set()).add(hpo)
+            for v, hpos in variants.items():
+                if len(hpos) == 1 and v not in lemma_space:
+                    rows.append((v, next(iter(hpos)), 3))
         # Arrow path: ~95k-row driver-side dimension; plain
         # createDataFrame(list-of-tuples) costs seconds per call
         import pandas as pd

@@ -42,17 +42,30 @@ def dictionary_link(candidates: DataFrame, dict_df: DataFrame) -> DataFrame:
             F.col("key").alias("_k3"), F.col("hpo_id").alias("_h3")
         )
     )
+    # prio 3: synonym-substituted variant keys in lemma space (mined
+    # from same-concept surface forms, ontology.synonym_pairs) — probed
+    # by the same lemma_key column, one more broadcast hash join.
+    d4 = F.broadcast(
+        dict_df.filter(F.col("prio") == 3).select(
+            F.col("key").alias("_k4"), F.col("hpo_id").alias("_h4")
+        )
+    )
     out = (
         candidates.join(d1, F.col("key") == F.col("_k1"), "left")
         .join(d2, F.col("lemma_key") == F.col("_k2"), "left")
         .join(d3, F.col("stem_key") == F.col("_k3"), "left")
-        .withColumn("hpo_id", F.coalesce(F.col("_h1"), F.col("_h2"), F.col("_h3")))
+        .join(d4, F.col("lemma_key") == F.col("_k4"), "left")
+        .withColumn(
+            "hpo_id",
+            F.coalesce(F.col("_h1"), F.col("_h2"), F.col("_h3"), F.col("_h4")),
+        )
         .withColumn(
             "score",
             F.when(F.coalesce(F.col("_h1"), F.col("_h2")).isNotNull(), F.lit(1.0))
             .when(F.col("_h3").isNotNull(), F.lit(0.9))
+            .when(F.col("_h4").isNotNull(), F.lit(0.85))
             .cast("double"),
         )
-        .drop("_k1", "_h1", "_k2", "_h2", "_k3", "_h3")
+        .drop("_k1", "_h1", "_k2", "_h2", "_k3", "_h3", "_k4", "_h4")
     )
     return out

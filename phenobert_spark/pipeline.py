@@ -67,7 +67,15 @@ def annotate(
         else:
             vocab_bc = spark.sparkContext.broadcast(onto.prune_vocab())
     cands = generate_candidates(chunks, cfg.max_kmer_len, vocab_bc=vocab_bc)
-    dict_df = dict_df if dict_df is not None else onto.dict_df(spark)
+    dict_df = (
+        dict_df
+        if dict_df is not None
+        else onto.dict_df(
+            spark,
+            syn_min_count=cfg.syn_tier_min_count,
+            syn_phrase_min_count=cfg.syn_phrase_min_count,
+        )
+    )
     linked = dictionary_link(cands, dict_df)
 
     matched = linked.filter(F.col("hpo_id").isNotNull())

@@ -27,9 +27,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 # Floors measured on the dictionary-only path (see BENCH/BASELINE.md).
+# Round-2 measured (syn tier on): GSC+ 0.752/0.619/0.679,
+# ID-68 0.935/0.718/0.812, GeneReviews 0.934/0.773/0.846,
+# val 0.881/0.757/0.814.
 FLOORS = {
-    "GSC+": {"micro_p": 0.75, "micro_r": 0.58, "micro_f1": 0.66},
-    "ID-68": {"micro_p": 0.93, "micro_r": 0.70, "micro_f1": 0.80},
+    "GSC+": {"micro_p": 0.745, "micro_r": 0.61, "micro_f1": 0.67},
+    "ID-68": {"micro_p": 0.925, "micro_r": 0.71, "micro_f1": 0.805},
+    "GeneReviews": {"micro_p": 0.925, "micro_r": 0.76, "micro_f1": 0.84},
+    "val": {"micro_p": 0.87, "micro_r": 0.75, "micro_f1": 0.805},
 }
 
 
@@ -38,7 +43,7 @@ def ref_onto():
     return load_reference_ontology()
 
 
-@pytest.mark.parametrize("dataset", ["GSC+", "ID-68"])
+@pytest.mark.parametrize("dataset", ["GSC+", "ID-68", "GeneReviews", "val"])
 def test_golden_floors(spark, ref_onto, dataset):
     docs = load_reference_corpus(spark, dataset)
     docs_id = with_doc_id(docs)

