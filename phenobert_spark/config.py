@@ -48,6 +48,10 @@ class PipelineConfig:
     model_p2: float = 0.45       # concept centroid cosine floor (M3)
     model_p3: float = 0.75       # bidirectional-alignment acceptance (M4)
     model_topk: int = 10         # concepts per routed phrase (W1, util.py:1142)
+    # GCN-analog ancestor smoothing of concept centroids (M3): mix
+    # weight of L1-parent centroids (util.py:540-575 semantics on the
+    # rebuilt 2-level DAG); 0 disables. Calibrated on val.
+    model_gcn_lambda: float = 0.4
     model_max_tokens: int = 6    # longest phrase sent to the model stage
     # Skew handling: long documents are split into independent chunks at
     # sentence-safe boundaries before the candidate UDF (north rule:

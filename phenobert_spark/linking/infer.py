@@ -45,7 +45,7 @@ def model_link(
     """survivors: candidate rows that missed the dictionary and are not
     contained in a matched span. Returns rows with (hpo_id, score)
     columns appended, only for accepted candidates."""
-    index = index or ConceptIndex.build(onto)
+    index = index or ConceptIndex.build(onto, gcn_lambda=cfg.model_gcn_lambda)
     bc = spark.sparkContext.broadcast(index)
     p1, p2, p3 = cfg.model_p1, cfg.model_p2, cfg.model_p3
     topk = cfg.model_topk

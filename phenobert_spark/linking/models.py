@@ -100,7 +100,17 @@ class ConceptIndex:
     surface_token_sets: dict[str, list[frozenset]]
 
     @classmethod
-    def build(cls, onto: Ontology, dim: int = 512) -> "ConceptIndex":
+    def build(
+        cls, onto: Ontology, dim: int = 512, gcn_lambda: float = 0.0
+    ) -> "ConceptIndex":
+        """``gcn_lambda``: ancestor-smoothing mix — the analog of the
+        reference GCN's ancestor-weight propagation (util.py:540-575:
+        w(c,c)=1, w(c,a)=sum_f w(f,a)/len(fathers)). On the rebuilt
+        2-level DAG (L1 subtree pseudo-parents; the real is_a edges live
+        in the missing hpo.json blob) that recursion reduces to blending
+        each concept centroid with the mean of its L1-parent centroids:
+        v(c) = normalize(centroid(c) + lambda * mean_f l1_centroid(f)).
+        0 disables; calibrated on val."""
         from ..functions.normalize import process_str, simplify_tokens
 
         enc = HashedEncoder(dim)
@@ -143,16 +153,28 @@ class ConceptIndex:
                 l1_rows.append(mvec / n if n > 0 else mvec)
             else:
                 l1_rows.append(np.zeros(dim, dtype=np.float32))
-        # concepts with no L1 route stay reachable (routing must not
-        # silently drop ontology regions)
-        unrouted = ~concept_l1.any(axis=1)
-        if unrouted.any() and l1_ids:
-            concept_l1[unrouted, :] = True
         l1_mat = (
             np.vstack(l1_rows).astype(np.float32)
             if l1_rows
             else np.zeros((0, dim), dtype=np.float32)
         )
+        if gcn_lambda > 0.0 and len(l1_ids):
+            # ancestor smoothing over TRUE memberships (before the
+            # unrouted fallback widens concept_l1 for routing)
+            n_parents = concept_l1.sum(axis=1, keepdims=True).astype(np.float32)
+            routed = n_parents[:, 0] > 0
+            anc = (concept_l1.astype(np.float32) @ l1_mat) / np.maximum(
+                n_parents, 1.0
+            )
+            sm = concept_mat.copy()
+            sm[routed] += gcn_lambda * anc[routed]
+            norms = np.linalg.norm(sm, axis=1, keepdims=True)
+            concept_mat = (sm / np.maximum(norms, 1e-12)).astype(np.float32)
+        # concepts with no L1 route stay reachable (routing must not
+        # silently drop ontology regions)
+        unrouted = ~concept_l1.any(axis=1)
+        if unrouted.any() and l1_ids:
+            concept_l1[unrouted, :] = True
         return cls(
             dim=dim,
             concept_ids=concept_ids,

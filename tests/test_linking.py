@@ -71,3 +71,33 @@ def test_model_stage_catches_morphological_variant(spark, onto):
     assert "HP:0001363" not in d          # craniosynostosis not exact-matched
     assert "HP:0001363" in m              # model stage links the variant
     assert m >= d                          # model stage only adds
+
+
+def test_gcn_ancestor_smoothing(onto):
+    """GCN-analog smoothing (util.py:540-575 on the rebuilt 2-level
+    DAG): concept vectors move toward their L1-parent centroid, stay
+    unit-norm, and routing membership is unchanged."""
+    import numpy as np
+
+    from phenobert_spark.linking.models import ConceptIndex
+
+    base = ConceptIndex.build(onto, gcn_lambda=0.0)
+    sm = ConceptIndex.build(onto, gcn_lambda=0.4)
+    assert base.concept_ids == sm.concept_ids
+    assert np.array_equal(base.concept_l1, sm.concept_l1)
+    norms = np.linalg.norm(sm.concept_mat, axis=1)
+    nz = norms > 0
+    assert np.allclose(norms[nz], 1.0, atol=1e-5)
+    moved = 0
+    for i, cid in enumerate(base.concept_ids):
+        parents = np.nonzero(base.concept_l1[i])[0]
+        if len(parents) == 0 or len(parents) == len(base.l1_ids):
+            continue
+        anc = base.l1_mat[parents].mean(axis=0)
+        if np.linalg.norm(anc) == 0 or norms[i] == 0:
+            continue
+        before = float(base.concept_mat[i] @ anc)
+        after = float(sm.concept_mat[i] @ anc)
+        if after > before:
+            moved += 1
+    assert moved > 0  # smoothing pulled concepts toward their subtree
