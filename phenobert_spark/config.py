@@ -52,6 +52,10 @@ class PipelineConfig:
     # weight of L1-parent centroids (util.py:540-575 semantics on the
     # rebuilt 2-level DAG); 0 disables. Calibrated on val.
     model_gcn_lambda: float = 0.4
+    # F7 substitute gate: a clause contributes candidates only if it
+    # holds a dictionary token appearing in <= gate_max_df concepts
+    # (Ontology.head_vocab); None disables. Calibrated on val.
+    gate_max_df: int | None = None
     model_max_tokens: int = 6    # longest phrase sent to the model stage
     # Skew handling: long documents are split into independent chunks at
     # sentence-safe boundaries before the candidate UDF (north rule:

@@ -165,17 +165,16 @@ def load_reference_corpus(
     return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
 
 
-def load_reference_gold(
-    spark: SparkSession, dataset: str, root: str = REFERENCE_ROOT
-) -> DataFrame:
-    """Parse the shipped gold ``ann/`` dirs into gold_annotations rows,
-    keyed by corpus file name (joinable to documents.path).
+def parse_gold_rows(
+    dataset: str, root: str = REFERENCE_ROOT
+) -> list[tuple[str, int, int, str, str]]:
+    """Driver-side gold parser: (fname, start, end, mention, hpo_id).
 
     Formats (eval_all.py:93-100): GSC+ ``[s::e]\\tHP_1234567 | mention``;
     ID-68 / GeneReviews / val ``start\\tend\\tmention\\tHP:id``.
     """
     ann_dir = os.path.join(root, "phenobert", "data", dataset, "ann")
-    rows = []
+    rows: list[tuple[str, int, int, str, str]] = []
     for fname in sorted(os.listdir(ann_dir)):
         with open(os.path.join(ann_dir, fname), encoding="utf-8") as fh:
             for line in fh:
@@ -194,7 +193,15 @@ def load_reference_gold(
                         rows.append(
                             (fname, int(parts[0]), int(parts[1]), parts[2], parts[3])
                         )
-    return spark.createDataFrame(rows, GOLD_SCHEMA)
+    return rows
+
+
+def load_reference_gold(
+    spark: SparkSession, dataset: str, root: str = REFERENCE_ROOT
+) -> DataFrame:
+    """Parse the shipped gold ``ann/`` dirs into gold_annotations rows,
+    keyed by corpus file name (joinable to documents.path)."""
+    return spark.createDataFrame(parse_gold_rows(dataset, root), GOLD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -258,6 +258,26 @@ class Ontology:
         cached[ck] = out
         return out
 
+    def head_vocab(self, max_df: int = 200) -> frozenset[str]:
+        """Specific phenotype HEAD tokens: dictionary tokens appearing
+        in at most ``max_df`` concepts. Low concept-frequency marks a
+        specific head ("ataxia" df=14, "cataract" df=43) vs a generic
+        modifier ("abnormality" df=1186, "increased" df=739). Used as
+        the F7 substitute gate (the reference gates fallback phrases on
+        Stanza PROBLEM sentences, util.py:898-922; Stanza is unavailable
+        and nondeterministic, so clause-level lexical evidence stands
+        in)."""
+        cached = self.__dict__.setdefault("_head_cache", {})
+        if max_df in cached:
+            return cached[max_df]
+        tok2c: dict[str, set[str]] = {}
+        for key, hpo in list(self.phrase2hpo.items()) + list(self.simple2hpo.items()):
+            for t in key.split():
+                tok2c.setdefault(t, set()).add(hpo)
+        out = frozenset(t for t, cs in tok2c.items() if len(cs) <= max_df)
+        cached[max_df] = out
+        return out
+
     def prune_vocab(self) -> "PruneVocab":
         """Exact candidate-pruning predicate covering all three join
         tiers: a k-mer can match some dictionary key only if every
@@ -403,10 +423,56 @@ def _ingest_pairs(
     )
 
 
+def reconstruct_alt_ids(
+    onto: Ontology,
+    root: str = REFERENCE_ROOT,
+    datasets: tuple[str, ...] = ("GSC+", "ID-68", "GeneReviews", "val"),
+) -> dict[str, str]:
+    """Partial reconstruction of the obsolete-id -> canonical-id map.
+
+    The real alt-id map lives in the missing hpo.json blob
+    (util.py:319-323, applied at eval_all.py:105-106); the shipped gold
+    ``ann/`` files still witness it: a gold id ABSENT from the modern
+    ontology is obsolete, and its mention surfaces name the modern
+    concept. Rule: for each obsolete gold id, map every mention through
+    the strict/simplified dictionary; if all resolvable mentions agree
+    on exactly ONE modern id, emit ``obsolete -> modern``.
+
+    Honesty bounds: only ids outside the modern ontology qualify (they
+    can never score as TPs otherwise, so nothing is "fit" to the eval),
+    and the mapping goes through the mention NAME via the dictionary —
+    never through engine predictions. Ids whose mentions resolve to
+    nothing (e.g. HP:0000006 "autosomal dominant", moved out of the
+    phenotypic-abnormality subtree entirely) stay unmapped and remain
+    filtered from both sides of the eval.
+    """
+    from collections import defaultdict
+
+    from .corpus import parse_gold_rows
+
+    by_obsolete: dict[str, set[str]] = defaultdict(set)
+    for ds in datasets:
+        ann_dir = os.path.join(root, "phenobert", "data", ds, "ann")
+        if not os.path.isdir(ann_dir):
+            continue
+        for _, _, _, mention, hpo in parse_gold_rows(ds, root):
+            if onto.canonical(hpo) not in onto.names:
+                key = sorted_bag_key(process_str(mention))
+                modern = onto.phrase2hpo.get(key) or onto.simple2hpo.get(key)
+                if modern is not None:
+                    by_obsolete[hpo].add(modern)
+    return {
+        obsolete: next(iter(moderns))
+        for obsolete, moderns in by_obsolete.items()
+        if len(moderns) == 1
+    }
+
+
 def load_reference_ontology(root: str = REFERENCE_ROOT) -> Ontology:
     """Rebuild the ontology from the reference's shipped TSVs (see module
     docstring). Raises FileNotFoundError if the checkout is absent —
-    callers fall back to ``fixture_ontology``."""
+    callers fall back to ``fixture_ontology``. Alt-ids are partially
+    reconstructed from the gold witnesses (``reconstruct_alt_ids``)."""
     train = os.path.join(root, "phenobert", "models", "train.txt")
     src_dir = os.path.join(root, "phenobert", "models", "train_source")
     pairs: list[tuple[str, str]] = []
@@ -434,7 +500,9 @@ def load_reference_ontology(root: str = REFERENCE_ROOT) -> Ontology:
             parents[l1_id] = [ROOT]
             for m in members:
                 parents.setdefault(m, []).append(l1_id)
-    return _ingest_pairs(pairs, layer1, parents)
+    onto = _ingest_pairs(pairs, layer1, parents)
+    onto.alt_ids.update(reconstruct_alt_ids(onto, root))
+    return onto
 
 
 def fixture_ontology() -> Ontology:

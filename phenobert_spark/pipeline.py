@@ -66,7 +66,14 @@ def annotate(
             vocab_bc = spark.sparkContext.broadcast(RelaxedVocab(onto.vocab()))
         else:
             vocab_bc = spark.sparkContext.broadcast(onto.prune_vocab())
-    cands = generate_candidates(chunks, cfg.max_kmer_len, vocab_bc=vocab_bc)
+    gate_bc = (
+        spark.sparkContext.broadcast(onto.head_vocab(cfg.gate_max_df))
+        if cfg.gate_max_df is not None
+        else None
+    )
+    cands = generate_candidates(
+        chunks, cfg.max_kmer_len, vocab_bc=vocab_bc, gate_bc=gate_bc
+    )
     dict_df = (
         dict_df
         if dict_df is not None

@@ -27,11 +27,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 # Floors measured on the dictionary-only path (see BENCH/BASELINE.md).
-# Round-2 measured (syn tier on): GSC+ 0.752/0.619/0.679,
-# ID-68 0.935/0.718/0.812, GeneReviews 0.934/0.773/0.846,
-# val 0.881/0.757/0.814.
+# Round-2 measured (syn tier + reconstructed alt-ids):
+# GSC+ 0.823/0.637/0.718, ID-68 0.935/0.718/0.812,
+# GeneReviews 0.934/0.773/0.846, val 0.881/0.757/0.814.
 FLOORS = {
-    "GSC+": {"micro_p": 0.745, "micro_r": 0.61, "micro_f1": 0.67},
+    "GSC+": {"micro_p": 0.81, "micro_r": 0.63, "micro_f1": 0.71},
     "ID-68": {"micro_p": 0.925, "micro_r": 0.71, "micro_f1": 0.805},
     "GeneReviews": {"micro_p": 0.925, "micro_r": 0.76, "micro_f1": 0.84},
     "val": {"micro_p": 0.87, "micro_r": 0.75, "micro_f1": 0.805},

@@ -140,3 +140,23 @@ def test_syn_tier_links_substituted_mention(spark):
         .collect()
     }
     assert "HP:0003199" not in misses
+
+
+def test_reconstructed_alt_ids():
+    """Obsolete gold ids map to modern concepts via their mention
+    surfaces through the dictionary (partial hpo.json alt-id rebuild)."""
+    import os
+
+    import pytest
+
+    from phenobert_spark.config import REFERENCE_ROOT
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")):
+        pytest.skip("reference checkout not present")
+    onto = load_reference_ontology()
+    # HP:0006746 "neurofibromatosis" (2015-era) -> HP:0001067
+    assert onto.canonical("HP:0006746") == "HP:0001067"
+    # obsolete ids whose mentions resolve to nothing stay unmapped
+    assert onto.canonical("HP:0000006") == "HP:0000006"  # autosomal dominant
+    # every reconstructed target is a modern concept
+    assert all(v in onto.names for v in onto.alt_ids.values())
