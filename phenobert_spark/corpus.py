@@ -105,6 +105,19 @@ def chunked(docs: DataFrame, target_bytes: int = 4096) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            lens = pdf["content"].str.len()
+            if (lens <= target_bytes).all():
+                # vectorized passthrough: the common batch shape has no
+                # long doc at all — no per-row Python loop
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "chunk_id": 0,
+                        "chunk_start": 0,
+                        "chunk_text": pdf["content"],
+                    }
+                )
+                continue
             out = {"doc_id": [], "chunk_id": [], "chunk_start": [], "chunk_text": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 if len(content) <= target_bytes:

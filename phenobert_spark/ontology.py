@@ -309,6 +309,20 @@ class Ontology:
         lemma probe space or map ambiguously to several concepts are
         dropped.
         """
+        # Two cache layers: the built pandas frame (per substitution
+        # key) and the session-bound DataFrame (skips the repeat Arrow
+        # conversion — a DataFrame is just a plan, safe to reuse within
+        # its session).
+        df_cache = self.__dict__.setdefault("_dict_df_cache", {})
+        cache = self.__dict__.setdefault("_dict_pdf_cache", {})
+        ck = (syn_min_count, syn_phrase_min_count)
+        sk = (id(spark._jsparkSession), ck)
+        if sk in df_cache:
+            return df_cache[sk]
+        if ck in cache:
+            df = spark.createDataFrame(cache[ck], DICT_SCHEMA)
+            df_cache[sk] = df
+            return df
         rows = []
         for key, hpo in self.phrase2hpo.items():
             rows.append((key, hpo, 0))
@@ -348,12 +362,17 @@ class Ontology:
             for v, hpos in variants.items():
                 if len(hpos) == 1 and v not in lemma_space:
                     rows.append((v, next(iter(hpos)), 3))
-        # Arrow path: ~95k-row driver-side dimension; plain
-        # createDataFrame(list-of-tuples) costs seconds per call
+        # Arrow path: ~95-150k-row driver-side dimension; plain
+        # createDataFrame(list-of-tuples) costs seconds per call. The
+        # built frame is cached per (syn, phrase) key so repeat
+        # annotate() calls skip variant regeneration entirely.
         import pandas as pd
 
         pdf = pd.DataFrame(rows, columns=["key", "hpo_id", "prio"])
-        return spark.createDataFrame(pdf, DICT_SCHEMA)
+        cache[ck] = pdf
+        df = spark.createDataFrame(pdf, DICT_SCHEMA)
+        df_cache[sk] = df
+        return df
 
     def terms_df(self, spark: SparkSession) -> DataFrame:
         alt_by_canon: dict[str, list[str]] = {}

@@ -60,26 +60,36 @@ def minhash_signatures(
     n_hashes: int = 4,
     shingle_w: int = 3,
 ) -> DataFrame:
-    """(id, mh1..mhN): per-document MinHash signature. Seeded md5 is the
-    hash family — deterministic, portable, no UDF."""
+    """(id, mh1..mhN): per-document MinHash signature.
+
+    Hash family: ONE md5 per shingle, split into N disjoint 8-hex-char
+    windows — each window is an independent 32-bit hash, so taking the
+    per-window lexicographic min gives N independent minhashes with a
+    quarter of the digest work of N seeded md5 calls (the digest
+    dominates this operator's CPU; measured ~2x on the q17 bench).
+    Requires n_hashes <= 4 (md5 is 32 hex chars).
+
+    Plan shape: transform(md5) computes the digest once per shingle;
+    the struct-accumulator aggregate then only slices substrings. A
+    per-seed ``array_min(transform(...))`` would re-tokenize and
+    re-shingle the text per seed (lambdas block common-subexpression
+    elimination)."""
+    if n_hashes > 4:
+        raise ValueError("n_hashes <= 4 (one md5 split into 8-hex windows)")
     sh = _shingles(F.col(text_col), shingle_w)
+    hs = F.transform(sh, F.md5)
     names = [f"mh{i+1}" for i in range(n_hashes)]
-    seeds = [f"s{i+1}" for i in range(n_hashes)]
-    # ONE traversal of the shingle array computing every seeded min via a
-    # struct accumulator: separate array_min(transform(...)) expressions
-    # would each re-tokenize and re-shingle the text (the lambdas block
-    # common-subexpression elimination).
     init = F.struct(*[F.lit("~").alias(n) for n in names])  # '~' > any hex
 
-    def step(acc, s):
+    def step(acc, h):
         return F.struct(
             *[
-                F.least(acc[n], F.md5(F.concat(F.lit(seed), s))).alias(n)
-                for n, seed in zip(names, seeds)
+                F.least(acc[n], F.substring(h, 1 + 8 * i, 8)).alias(n)
+                for i, n in enumerate(names)
             ]
         )
 
-    agg = F.aggregate(sh, init, step)
+    agg = F.aggregate(hs, init, step)
     return df.select(
         F.col(id_col).alias("doc_id"), *[agg[n].alias(n) for n in names]
     )

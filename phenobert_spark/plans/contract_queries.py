@@ -591,16 +591,6 @@ def q16(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _minhash_cols():
-    """4 seeded minhash signatures as (spark_exprs, sql_exprs)."""
-    seeds = ["s1", "s2", "s3", "s4"]
-    sql = ",\n".join(
-        f"list_min(list_transform(shingles, s -> md5('{seed}' || s))) AS mh{i+1}"
-        for i, seed in enumerate(seeds)
-    )
-    return seeds, sql
-
-
 @register(
     "q17_minhash_lsh_pairs",
     r"""
@@ -612,13 +602,15 @@ def _minhash_cols():
              [array_to_string(toks[i:i+2], ' ')
               for i in generate_series(1, greatest(len(toks) - 2, 1))] AS shingles
       FROM t
+    ), hashed AS (
+      SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh
     ), sig AS (
       SELECT doc_id,
-             list_min(list_transform(shingles, s -> md5('s1' || s))) AS mh1,
-             list_min(list_transform(shingles, s -> md5('s2' || s))) AS mh2,
-             list_min(list_transform(shingles, s -> md5('s3' || s))) AS mh3,
-             list_min(list_transform(shingles, s -> md5('s4' || s))) AS mh4
-      FROM sh
+             list_min(list_transform(hs, h -> substr(h, 1, 8)))  AS mh1,
+             list_min(list_transform(hs, h -> substr(h, 9, 8)))  AS mh2,
+             list_min(list_transform(hs, h -> substr(h, 17, 8))) AS mh3,
+             list_min(list_transform(hs, h -> substr(h, 25, 8))) AS mh4
+      FROM hashed
     ), bands AS (
       SELECT doc_id, md5(mh1 || mh2) AS band FROM sig
       UNION ALL
@@ -631,7 +623,8 @@ def _minhash_cols():
 )
 def q17(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs via the first-class
-    dedup operators (operators/dedup.py): shingle -> 4 seeded minhashes
+    dedup operators (operators/dedup.py): shingle -> one md5, 4
+    disjoint 8-hex-window minhashes
     -> 2 bands of 2 -> bucket self-join (banding shuffle is on the band
     key, so at scale only bucket-local pairs materialize)."""
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
