@@ -138,21 +138,63 @@ def is_num(s: str) -> bool:
         return False
 
 
+# Irregular Latin/Greek plurals common in clinical text. WordNet (the
+# reference's lemmatizer, util.py:25) resolves these from its exception
+# lists; this pinned table is the deterministic stand-in.
+_IRREGULAR_PLURALS = {
+    "nevi": "nevus", "naevi": "nevus", "fungi": "fungus",
+    "septa": "septum", "ganglia": "ganglion", "phalanges": "phalanx",
+    "testes": "testis", "diverticula": "diverticulum",
+    "foramina": "foramen", "atria": "atrium", "crises": "crisis",
+    "feet": "foot", "teeth": "tooth",
+}
+
+# British -> American orthography fold. The fold runs on BOTH sides
+# (document tokens and dictionary lemma rows), so consistency — not
+# linguistic perfection — is the invariant that makes keys meet.
+_ORTHO_SPECIAL = {"lachrymal": "lacrimal", "grey": "gray"}
+
+
+def _ortho(t: str) -> str:
+    """Fold British/Latin spelling variants to the American base form."""
+    s = _ORTHO_SPECIAL.get(t)
+    if s is not None:
+        return s
+    if len(t) > 4 and t.endswith("ae"):       # Latin plural: vertebrae
+        t = t[:-1]
+    if len(t) > 4 and t.startswith(("ae", "oe")):  # aetiology, oedema
+        t = t[1:]
+    if len(t) > 4 and ("ae" in t[1:-1] or "oe" in t[1:-1]):
+        t = t[:1] + t[1:].replace("ae", "e").replace("oe", "e")
+    if len(t) >= 6 and t.endswith("our"):      # tumour, colour
+        t = t[:-3] + "or"
+    if len(t) >= 7 and t.endswith("isation"):  # mineralisation
+        t = t[:-7] + "ization"
+    if len(t) > 5 and t.startswith("leuc"):    # leucocyte
+        t = "leuk" + t[4:]
+    return t
+
+
 @lru_cache(maxsize=65536)
 def lemma(token: str) -> str:
     """Deterministic suffix-rule lemmatizer (stands in for WordNet,
-    util.py:25/927-929; rules cover regular English plurals)."""
+    util.py:25/927-929; regular English plurals + pinned irregular
+    table), composed with the British->American orthography fold so the
+    lemma key space is spelling-invariant on both sides of the join."""
+    irr = _IRREGULAR_PLURALS.get(token)
+    if irr is not None:
+        return irr
     if len(token) > 3 and token.endswith("ies"):
-        return token[:-3] + "y"
-    if len(token) > 3 and token.endswith(("ches", "shes", "xes", "sses", "zes")):
-        return token[:-2]
-    if (
+        token = token[:-3] + "y"
+    elif len(token) > 3 and token.endswith(("ches", "shes", "xes", "sses", "zes")):
+        token = token[:-2]
+    elif (
         len(token) > 2
         and token.endswith("s")
         and not token.endswith(("ss", "us", "is"))
     ):
-        return token[:-1]
-    return token
+        token = token[:-1]
+    return _ortho(token)
 
 
 def sorted_bag_key(tokens: list[str]) -> str:

@@ -53,6 +53,35 @@ from .functions.normalize import (
 
 ROOT = "HP:0000118"
 
+# Greek/Latin combining prefixes that appear both fused and
+# hyphenated/split in clinical prose ("supraauricular" ~
+# "supra-auricular"). Public anatomical word-formation knowledge,
+# pinned for determinism; used for dictionary split variants only.
+COMBINING_PREFIXES = (
+    "supra", "infra", "intra", "inter", "peri", "hemi", "semi", "retro",
+    "ante", "post", "pre", "micro", "macro", "hypo", "hyper", "poly",
+    "oligo", "multi", "oculo", "neuro", "cranio", "musculo", "genito",
+    "gastro", "cardio", "broncho", "naso", "oro",
+)
+
+# Anatomical adjective -> organ-noun correspondences (standard medical
+# English, public knowledge). Seeded alongside the ontology-MINED
+# substitution pairs and subject to the same unambiguous-variant
+# filtering, so a swap that would make two concepts collide is dropped.
+_SEED_PAIRS = [
+    ("ophthalmic", "eye"), ("ocular", "eye"), ("otologic", "ear"),
+    ("otic", "ear"), ("aural", "ear"), ("renal", "kidney"),
+    ("cardiac", "heart"), ("hepatic", "liver"), ("cutaneous", "skin"),
+    ("dermal", "skin"), ("gastric", "stomach"), ("pulmonary", "lung"),
+    ("osseous", "bone"), ("oral", "mouth"), ("nasal", "nose"),
+    ("digital", "finger"), ("vertebral", "vertebra"),
+    ("mandibular", "mandible"), ("maxillary", "maxilla"),
+    ("neurinoma", "schwannoma"),
+]
+SEED_SUBSTITUTIONS = [
+    (frozenset({a}), frozenset({b})) for a, b in _SEED_PAIRS
+] + [(frozenset({b}), frozenset({a})) for a, b in _SEED_PAIRS]
+
 
 class PruneVocab:
     """Token-eligibility predicate for exact candidate pruning (see
@@ -323,34 +352,64 @@ class Ontology:
             df = spark.createDataFrame(cache[ck], DICT_SCHEMA)
             df_cache[sk] = df
             return df
+        from .functions.normalize import lemma
+
+        def lbag_key(toks: list[str]) -> str:
+            return " ".join(sorted(lemma(t) for t in toks))
+
         rows = []
+        base: dict[str, str] = {}
         for key, hpo in self.phrase2hpo.items():
             rows.append((key, hpo, 0))
+            base[key] = hpo
         for key, hpo in self.simple2hpo.items():
             if key not in self.phrase2hpo:
                 rows.append((key, hpo, 1))
+                base.setdefault(key, hpo)
         # prio 2 is probed via the separate stem_key column — its key
         # space is independent of prio 0/1, so no cross-tier dedup
         for key, hpo in self.stem2hpo.items():
             rows.append((key, hpo, 2))
+        # Folded-lemma rows (prio 1): the lemma probe compares the
+        # candidate's lemma_key against RAW keys, which only works when
+        # a key's tokens are already base forms. A key whose
+        # lemma/orthography-folded bag differs ("bowed tibiae" ->
+        # "bowed tibia") gets an explicit row so inflected or
+        # British-spelled mentions meet it; ambiguous folds are dropped.
+        lemma_variants: dict[str, set[str]] = {}
+        for key, hpo in base.items():
+            lk = lbag_key(key.split())
+            if lk != key and lk not in base:
+                lemma_variants.setdefault(lk, set()).add(hpo)
+        for lk, hpos in lemma_variants.items():
+            if len(hpos) == 1:
+                rows.append((lk, next(iter(hpos)), 1))
+        lemma_space = set(base) | set(lemma_variants)
+        # Combining-form split variants (prio 3): single-token Latin
+        # compounds also written hyphenated/split in prose ("supraauricular
+        # sinus" ~ "supra-auricular sinuses"). Split on a pinned public
+        # combining-prefix list; unambiguous variants only.
+        split_variants: dict[str, set[str]] = {}
+        for key, hpo in base.items():
+            toks = key.split()
+            for i, t in enumerate(toks):
+                for p in COMBINING_PREFIXES:
+                    if t.startswith(p) and len(t) - len(p) >= 4:
+                        v = lbag_key(toks[:i] + [p, t[len(p):]] + toks[i + 1:])
+                        split_variants.setdefault(v, set()).add(hpo)
+        for v, hpos in split_variants.items():
+            if len(hpos) == 1 and v not in lemma_space:
+                rows.append((v, next(iter(hpos)), 3))
         if syn_min_count is not None:
-            from .functions.normalize import lemma
-
-            subs = self.mined_substitutions(syn_min_count, syn_phrase_min_count)
+            subs = list(
+                self.mined_substitutions(syn_min_count, syn_phrase_min_count)
+            ) + SEED_SUBSTITUTIONS
             # trigger-token index: pair (A -> B) is only tried on keys
             # containing min(A), so variant generation is O(keys x
             # tokens-per-key x pairs-per-trigger), not O(keys x pairs)
             by_trigger: dict[str, list[tuple[frozenset, frozenset]]] = {}
             for a, b in subs:
                 by_trigger.setdefault(min(a), []).append((a, b))
-            base = {}
-            for key, hpo in self.phrase2hpo.items():
-                base[key] = hpo
-            for key, hpo in self.simple2hpo.items():
-                base.setdefault(key, hpo)
-            lemma_space = set()
-            for key in base:
-                lemma_space.add(" ".join(sorted(lemma(t) for t in key.split())))
             variants: dict[str, set[str]] = {}
             for key, hpo in base.items():
                 lbag = {lemma(t) for t in key.split()}

@@ -27,14 +27,15 @@ pytestmark = pytest.mark.skipif(
 )
 
 # Floors measured on the dictionary-only path (see BENCH/BASELINE.md).
-# Round-2 measured (syn tier + reconstructed alt-ids):
-# GSC+ 0.823/0.637/0.718, ID-68 0.935/0.718/0.812,
-# GeneReviews 0.934/0.773/0.846, val 0.881/0.757/0.814.
+# Round-2 measured (syn tier + alt-ids + ortho/irregular-plural folds +
+# seeded adj->noun substitutions + split variants):
+# GSC+ 0.826/0.653/0.729, ID-68 0.933/0.718/0.811,
+# GeneReviews 0.929/0.773/0.844, val 0.877/0.764/0.817.
 FLOORS = {
-    "GSC+": {"micro_p": 0.81, "micro_r": 0.63, "micro_f1": 0.71},
+    "GSC+": {"micro_p": 0.81, "micro_r": 0.64, "micro_f1": 0.72},
     "ID-68": {"micro_p": 0.925, "micro_r": 0.71, "micro_f1": 0.805},
-    "GeneReviews": {"micro_p": 0.925, "micro_r": 0.76, "micro_f1": 0.84},
-    "val": {"micro_p": 0.87, "micro_r": 0.75, "micro_f1": 0.805},
+    "GeneReviews": {"micro_p": 0.92, "micro_r": 0.76, "micro_f1": 0.835},
+    "val": {"micro_p": 0.87, "micro_r": 0.755, "micro_f1": 0.81},
 }
 
 

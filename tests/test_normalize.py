@@ -36,6 +36,32 @@ def test_lemma_rules():
     assert N.lemma("status") == "status"
 
 
+def test_lemma_irregular_plurals():
+    assert N.lemma("nevi") == "nevus"
+    assert N.lemma("phalanges") == "phalanx"
+    assert N.lemma("vertebrae") == "vertebra"  # Latin -ae plural fold
+    assert N.lemma("teeth") == "tooth"
+
+
+def test_lemma_orthography_fold():
+    # British -> American folds (both sides of the lemma join fold, so
+    # consistency is the contract, not linguistic perfection)
+    assert N.lemma("anaemia") == "anemia"
+    assert N.lemma("haemorrhage") == "hemorrhage"
+    assert N.lemma("oedema") == "edema"
+    assert N.lemma("oesophagus") == "esophagus"
+    assert N.lemma("diarrhoea") == "diarrhea"
+    assert N.lemma("tumours") == "tumor"      # plural strip THEN fold
+    assert N.lemma("behaviour") == "behavior"
+    assert N.lemma("lachrymal") == "lacrimal"
+    assert N.lemma("leucocytes") == "leukocyte"
+    assert N.lemma("mineralisation") == "mineralization"
+    # short/common English words are exempt
+    assert N.lemma("hour") == "hour"
+    assert N.lemma("shoe") == "shoe"
+    assert N.lemma("toes") == "toe"
+
+
 def test_sorted_bag_and_lemma_key():
     key = N.sorted_bag_key(["stature", "short"])
     assert key == "short stature"
