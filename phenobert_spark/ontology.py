@@ -324,6 +324,7 @@ class Ontology:
         spark: SparkSession,
         syn_min_count: int | None = None,
         syn_phrase_min_count: int | None = None,
+        drop_one: bool = False,
     ) -> DataFrame:
         """The broadcast dictionary dimension for the J1 equi-join.
 
@@ -344,7 +345,7 @@ class Ontology:
         # its session).
         df_cache = self.__dict__.setdefault("_dict_df_cache", {})
         cache = self.__dict__.setdefault("_dict_pdf_cache", {})
-        ck = (syn_min_count, syn_phrase_min_count)
+        ck = (syn_min_count, syn_phrase_min_count, drop_one)
         sk = (id(spark._jsparkSession), ck)
         if sk in df_cache:
             return df_cache[sk]
@@ -421,6 +422,34 @@ class Ontology:
             for v, hpos in variants.items():
                 if len(hpos) == 1 and v not in lemma_space:
                     rows.append((v, next(iter(hpos)), 3))
+        if drop_one:
+            # Drop-one fuzzy tier (prio 4): a mention that names a
+            # concept with one dictionary token elided ("lacrimal
+            # stenosis" ~ "lacrimal duct stenosis"). The reference's
+            # trained BERT re-ranker accepts such near-matches
+            # (model.py:359-432, threshold param3); this is the
+            # deterministic dictionary-side analog. A variant must keep
+            # a specific HEAD token (concept-frequency <= 200) so generic
+            # residues like "abnormality of" never match alone, and must
+            # be unambiguous across concepts.
+            heads = self.head_vocab(200)
+            d1_variants: dict[str, set[str]] = {}
+            for key, hpo in base.items():
+                toks = key.split()
+                if not 4 <= len(toks) <= 6:
+                    continue
+                ltoks = [lemma(t) for t in toks]
+                for i in range(len(ltoks)):
+                    if ltoks[i] in heads:
+                        continue  # only GENERIC tokens may be elided
+                    rest = ltoks[:i] + ltoks[i + 1:]
+                    if any(t in heads for t in rest):
+                        d1_variants.setdefault(
+                            " ".join(sorted(rest)), set()
+                        ).add(hpo)
+            for v, hpos in d1_variants.items():
+                if len(hpos) == 1 and v not in lemma_space:
+                    rows.append((v, next(iter(hpos)), 4))
         # Arrow path: ~95-150k-row driver-side dimension; plain
         # createDataFrame(list-of-tuples) costs seconds per call. The
         # built frame is cached per (syn, phrase) key so repeat

@@ -50,22 +50,92 @@ def dictionary_link(candidates: DataFrame, dict_df: DataFrame) -> DataFrame:
             F.col("key").alias("_k4"), F.col("hpo_id").alias("_h4")
         )
     )
+    # prio 4: dictionary-side drop-one variants (Ontology.dict_df
+    # drop_one=True); empty unless the tier is enabled.
+    d5 = F.broadcast(
+        dict_df.filter(F.col("prio") == 4).select(
+            F.col("key").alias("_k5"), F.col("hpo_id").alias("_h5")
+        )
+    )
     out = (
         candidates.join(d1, F.col("key") == F.col("_k1"), "left")
         .join(d2, F.col("lemma_key") == F.col("_k2"), "left")
         .join(d3, F.col("stem_key") == F.col("_k3"), "left")
         .join(d4, F.col("lemma_key") == F.col("_k4"), "left")
+        .join(d5, F.col("lemma_key") == F.col("_k5"), "left")
         .withColumn(
             "hpo_id",
-            F.coalesce(F.col("_h1"), F.col("_h2"), F.col("_h3"), F.col("_h4")),
+            F.coalesce(
+                F.col("_h1"), F.col("_h2"), F.col("_h3"), F.col("_h4"),
+                F.col("_h5"),
+            ),
         )
         .withColumn(
             "score",
             F.when(F.coalesce(F.col("_h1"), F.col("_h2")).isNotNull(), F.lit(1.0))
             .when(F.col("_h3").isNotNull(), F.lit(0.9))
             .when(F.col("_h4").isNotNull(), F.lit(0.85))
+            .when(F.col("_h5").isNotNull(), F.lit(0.8))
             .cast("double"),
         )
-        .drop("_k1", "_h1", "_k2", "_h2", "_k3", "_h3", "_k4", "_h4")
+        .drop("_k1", "_h1", "_k2", "_h2", "_k3", "_h3", "_k4", "_h4",
+              "_k5", "_h5")
     )
     return out
+
+
+def drop_one_link(
+    misses: DataFrame, dict_df: DataFrame, heads_df: DataFrame | None = None
+) -> DataFrame:
+    """Query-side drop-one probe: an unmatched candidate whose bag has
+    ONE extra token over a dictionary key ("postnatal onset
+    microcephaly" ~ "postnatal microcephaly") — the mirror direction of
+    the prio-4 dictionary variants. Input rows must be unmatched
+    candidates (hpo_id already dropped) with 3-7 tokens.
+
+    All key arithmetic is JVM-side (split/slice/transform on lemma_key,
+    whole-stage codegen); the probe explodes each miss into n drop-one
+    keys and broadcast-joins the strict+lemma dictionary tier, keeping
+    one deterministic winner per candidate span (min hpo_id). Matches
+    score 0.8 — below every exact tier, so overlap dedup prefers exact
+    spans."""
+    toks = F.split(F.col("lemma_key"), " ")
+    n = F.size(toks)
+    probes = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.struct(
+            F.get(toks, i).alias("dropped"),
+            F.array_join(
+                F.concat(
+                    F.slice(toks, F.lit(1), i), F.slice(toks, i + F.lit(2), n)
+                ),
+                " ",
+            ).alias("probe"),
+        ),
+    )
+    exploded = misses.withColumn("_p", F.explode(probes)).select(
+        "*", F.col("_p.dropped").alias("_dropped"), F.col("_p.probe").alias("_probe")
+    ).drop("_p")
+    if heads_df is not None:
+        # only a DROPPABLE token may be elided: dropping a content head
+        # ("lacrimal") changes what the mention denotes. heads_df holds
+        # the allowed (droppable) tokens — semi join keeps those probes.
+        exploded = exploded.join(
+            F.broadcast(heads_df.withColumnRenamed("token", "_dropped")),
+            "_dropped",
+            "left_semi",
+        )
+    d = F.broadcast(
+        dict_df.filter(F.col("prio") <= 1).select(
+            F.col("key").alias("_kq"), F.col("hpo_id").alias("_hq")
+        )
+    )
+    hits = exploded.join(d, F.col("_probe") == F.col("_kq"), "inner")
+    # one winner per candidate span: lexicographically smallest hpo_id
+    best = hits.groupBy("doc_id", "start", "end").agg(
+        F.min("_hq").alias("hpo_id")
+    )
+    return (
+        misses.join(best, ["doc_id", "start", "end"], "inner")
+        .withColumn("score", F.lit(0.8).cast("double"))
+    )

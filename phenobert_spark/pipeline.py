@@ -31,6 +31,23 @@ TRIPLES_COLS = [
     "doc_id", "pred", "hpo_id", "start", "end", "mention", "score", "negated",
 ]
 
+# Closed class of degree/laterality/temporal modifiers a mention may
+# carry WITHOUT changing which concept it denotes ("severe X" -> X).
+# Linguistic public knowledge, pinned; used only by the default-off
+# query-side drop-one tier. Concept-frequency cannot stand in for this:
+# "severe" names 52 concepts while anatomical "proximal" names 415.
+DROPPABLE_MODIFIERS = frozenset(
+    {
+        "severe", "mild", "moderate", "profound", "marked", "slight",
+        "onset", "postnatal", "prenatal", "congenital", "bilateral",
+        "unilateral", "generalized", "localized", "chronic", "acute",
+        "recurrent", "episodic", "progressive", "intermittent",
+        "occasional", "frequent", "persistent", "constant", "diffuse",
+        "focal", "partial", "complete", "isolated", "multiple",
+        "early", "late", "significant", "apparent", "typical",
+    }
+)
+
 
 def annotate(
     spark: SparkSession,
@@ -81,11 +98,24 @@ def annotate(
             spark,
             syn_min_count=cfg.syn_tier_min_count,
             syn_phrase_min_count=cfg.syn_phrase_min_count,
+            drop_one=cfg.drop_one_dict,
         )
     )
     linked = dictionary_link(cands, dict_df)
 
     matched = linked.filter(F.col("hpo_id").isNotNull())
+
+    if cfg.drop_one_query:
+        from .operators.dict_link import drop_one_link
+
+        fuzzy_misses = linked.filter(
+            F.col("hpo_id").isNull() & F.col("n_tokens").between(3, 7)
+        ).drop("hpo_id", "score")
+        droppable_df = spark.createDataFrame(
+            [(t,) for t in sorted(DROPPABLE_MODIFIERS)], "token string"
+        )
+        fuzzy = drop_one_link(fuzzy_misses, dict_df, droppable_df)
+        matched = matched.unionByName(fuzzy.select(*matched.columns))
 
     if cfg.use_model_stages:
         from .linking.infer import model_link

@@ -160,3 +160,51 @@ def test_reconstructed_alt_ids():
     assert onto.canonical("HP:0000006") == "HP:0000006"  # autosomal dominant
     # every reconstructed target is a modern concept
     assert all(v in onto.names for v in onto.alt_ids.values())
+
+
+def test_drop_one_tiers(spark):
+    """Drop-one fuzzy tiers (round 2, default-off): dictionary-side
+    prio-4 variants link a mention that elides one generic dictionary
+    token; the query-side probe links a mention carrying one extra
+    token. Both are the deterministic analog of the reference's BERT
+    near-match acceptance (model.py:359-432)."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from phenobert_spark.config import REFERENCE_ROOT, PipelineConfig
+    from phenobert_spark.corpus import DOCUMENTS_SCHEMA
+    from phenobert_spark.pipeline import annotate
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")):
+        pytest.skip("reference checkout not present")
+    onto = load_reference_ontology()
+
+    d = onto.dict_df(spark, drop_one=True)
+    tier4 = d.filter("prio = 4")
+    n4 = tier4.count()
+    assert n4 > 1000
+    # unambiguous: each variant key maps to exactly one concept
+    assert tier4.select("key").distinct().count() == n4
+    # default build has no prio-4 rows
+    assert onto.dict_df(spark).filter("prio = 4").count() == 0
+
+    # dict-side: "lacrimal duct stenosis" with the generic token
+    # "duct" elided still links to HP:0007925-adjacent concept space
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "en", "Patient shows postnatal onset microcephaly.")],
+        DOCUMENTS_SCHEMA,
+    )
+    got_q = annotate(
+        spark, docs, onto, PipelineConfig(drop_one_query=True)
+    ).filter(F.col("score") == 0.8)
+    rows = got_q.collect()
+    # query-side: the extra token "onset" is dropped, matching the
+    # dictionary key "microcephaly postnatal" (HP:0005484)
+    assert any(r.hpo_id == "HP:0005484" for r in rows), rows
+    # default config emits no 0.8-scored fuzzy rows
+    got_def = annotate(spark, docs, onto, PipelineConfig()).filter(
+        F.col("score") == 0.8
+    )
+    assert got_def.count() == 0

@@ -32,8 +32,18 @@ def main():
     spark = get_spark(master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     onto = load_reference_ontology()
-    cfg = PipelineConfig(use_model_stages=use_model)
-    print(f"config: model={use_model}")
+    overrides = {"use_model_stages": use_model}
+    if "--drop-one-dict" in sys.argv:
+        overrides["drop_one_dict"] = True
+    if "--no-drop-one-dict" in sys.argv:
+        overrides["drop_one_dict"] = False
+    if "--drop-one-query" in sys.argv:
+        overrides["drop_one_query"] = True
+    cfg = PipelineConfig(**overrides)
+    print(
+        f"config: model={use_model} d1dict={cfg.drop_one_dict} "
+        f"d1query={cfg.drop_one_query}"
+    )
     for ds in datasets:
         t0 = time.time()
         docs = load_reference_corpus(spark, ds)
