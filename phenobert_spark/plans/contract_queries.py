@@ -1458,3 +1458,32 @@ def q37(spark, sf_dir):
     return ivf_topk(spark, e, q, n_centroids=8, k=3, nprobe=8).orderBy(
         "qid", F.col("cos").desc(), "nid"
     )
+
+
+@register(
+    "q38_neardup_lsh",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+             * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q38(spark, sf_dir):
+    """Hyperplane-LSH near-dup (operators/similarity.cosine_neardup_lsh)
+    vs the all-pairs oracle: the scale-path twin of q32. band_bits=2 /
+    64 planes makes a 0.4-cosine pair miss with p < 1e-7, so the LSH
+    result is exhaustive at contract scale (verified exactly here);
+    the plan's pair source is an equi-join on (band_idx, band_key) —
+    no cross join at any n."""
+    from ..operators.similarity import cosine_neardup_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_lsh(
+        spark, e, threshold=0.4, n_planes=64, band_bits=2
+    ).orderBy("id_a", "id_b")

@@ -41,3 +41,46 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert {(r.qid, r.nid) for r in exact.collect()} == {
         (r.qid, r.nid) for r in full.collect()
     }
+
+
+def test_lsh_neardup_finds_planted_duplicates(spark):
+    """Planted near-duplicates (copy + small perturbation, cosine>0.95)
+    must all surface through the banded LSH path; verified against the
+    brute-force pair set, and the plan must contain no cartesian
+    product (the pair source is an equi-join on band keys)."""
+    import numpy as np
+
+    from phenobert_spark.operators.similarity import cosine_neardup_lsh
+
+    rng = np.random.RandomState(7)
+    basev = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(basev):
+        rows.append((i, [float(x) for x in v]))
+    # plant 10 near-dups of vectors 0..9
+    for i in range(10):
+        noisy = basev[i] + 0.05 * rng.standard_normal(16)
+        rows.append((100 + i, [float(x) for x in noisy]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = cosine_neardup_lsh(spark, e, threshold=0.9, n_planes=64, band_bits=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    for i in range(10):
+        assert (i, 100 + i) in pairs, f"planted dup {i} missed"
+
+    # brute-force ground truth: nothing else reaches 0.9 here
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = [r[0] for r in rows]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    expected = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9 and ids[i] < ids[j]
+    }
+    assert pairs == expected
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
