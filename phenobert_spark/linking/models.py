@@ -206,6 +206,41 @@ def _token_sim(enc: HashedEncoder, a: str, b: str) -> float:
     return float(np.dot(enc._token_vec(a), enc._token_vec(b)))
 
 
+# per-worker cache: concept -> (token array, lemma array, (n_tok, dim)
+# token-vector matrix, per-surface row slices). Keyed by index identity
+# so a rebroadcast index never serves stale rows.
+_ALIGN_CACHE: dict[int, dict[str, tuple]] = {}
+
+
+def _surface_align_data(
+    enc: HashedEncoder, concept_id: str, index: ConceptIndex
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[tuple[int, int]]]:
+    cache = _ALIGN_CACHE.setdefault(id(index), {})
+    hit = cache.get(concept_id)
+    if hit is not None:
+        return hit
+    toks: list[str] = []
+    bounds: list[tuple[int, int]] = []
+    for ts in index.surface_token_sets[concept_id]:
+        if not ts:
+            continue
+        a = len(toks)
+        toks.extend(sorted(ts))
+        bounds.append((a, len(toks)))
+    if toks:
+        mat = np.vstack([enc._token_vec(t) for t in toks])
+    else:
+        mat = np.zeros((0, enc.dim), dtype=np.float32)
+    data = (
+        np.array(toks, dtype=object),
+        np.array([lemma(t) for t in toks], dtype=object),
+        mat,
+        bounds,
+    )
+    cache[concept_id] = data
+    return data
+
+
 def pair_score(
     enc: HashedEncoder,
     phrase: str,
@@ -219,25 +254,31 @@ def pair_score(
     phrase token and vice versa). Spans that merely share a word score
     low; morphological variants ("mutilating" ~ "mutilation") score
     high. This is fuzzy dictionary containment, the high-precision
-    stand-in for the reference's trained match classifier."""
+    stand-in for the reference's trained match classifier.
+
+    Vectorized: the concept's surface tokens live in one cached
+    (n_tok, dim) matrix; a call is a single (n_tok, m) BLAS matmul plus
+    an exact/lemma equality override, then per-surface min/max over the
+    slice — no per-token Python loop."""
     ptoks = phrase.split()
     if not ptoks:
         return 0.0
+    tokarr, lemarr, mat, bounds = _surface_align_data(enc, concept_id, index)
+    if not bounds:
+        return 0.0
+    pvec = np.vstack([enc._token_vec(t) for t in ptoks])  # (m, dim)
+    sims = mat @ pvec.T  # (n_tok, m)
+    parr = np.array(ptoks, dtype=object)
+    plem = np.array([lemma(t) for t in ptoks], dtype=object)
+    eq = (tokarr[:, None] == parr[None, :]) | (lemarr[:, None] == plem[None, :])
+    np.copyto(sims, 1.0, where=eq)
     best = 0.0
-    for stoks in index.surface_token_sets[concept_id]:
-        if not stoks:
-            continue
-        stoks_l = list(stoks)
-        # every surface token needs a phrase witness
-        cover_s = min(
-            max(_token_sim(enc, s, p) for p in ptoks) for s in stoks_l
-        )
+    for a, b in bounds:
+        sub = sims[a:b]
+        cover_s = float(sub.max(axis=1).min())  # surface tokens witnessed
         if cover_s <= best:
             continue
-        # every phrase token needs a surface witness
-        cover_p = min(
-            max(_token_sim(enc, p, s) for s in stoks_l) for p in ptoks
-        )
+        cover_p = float(sub.max(axis=0).min())  # phrase tokens witnessed
         score = min(cover_s, cover_p)
         if score > best:
             best = score
