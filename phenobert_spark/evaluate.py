@@ -164,3 +164,40 @@ def dag_set_similarity(
 
     row = both.agg(F.avg(set_sim("ps", "gs")).alias("s")).collect()[0]
     return float(row.s or 0.0)
+
+
+def evaluate_report(
+    spark: SparkSession,
+    predictions: dict[str, DataFrame],
+    gold: DataFrame,
+    onto: Ontology,
+    doc_universe: DataFrame | None = None,
+) -> str:
+    """Multi-tool comparison report, the rebuild of eval_all.py's
+    three-section output (reference eval_all.py:260-321: micro P/R/F1
+    per tool, macro P/R/F1 per tool, mean node similarity per tool).
+    ``predictions`` maps a tool name to its (doc_id, hpo_id) triples —
+    the reference reads the same shape from evaluate/<tool>/predict_*
+    dirs (those prediction dirs are not shipped, so callers supply
+    them; the engine's own triples are just one entry)."""
+    rows_micro, rows_macro, rows_sim = [], [], []
+    for tool, pred in predictions.items():
+        m = evaluate_sets(spark, pred, gold, onto, doc_universe=doc_universe)
+        s = dag_set_similarity(spark, pred, gold, onto)
+        rows_micro.append(
+            "%s Precision: %.4f\tRecal: %.4f\tF1 score: %.4f"
+            % (tool, m["micro_p"], m["micro_r"], m["micro_f1"])
+        )
+        rows_macro.append(
+            "%s Precision: %.4f\tRecal: %.4f\tF1 score: %.4f"
+            % (tool, m["macro_p"], m["macro_r"], m["macro_f1"])
+        )
+        rows_sim.append("%s Similarity: %.4f" % (tool, s))
+    return "\n".join(
+        ["Evaluate in Micro Way"]
+        + rows_micro
+        + ["", "Evaluate in Macro Way"]
+        + rows_macro
+        + ["", "Evaluate in Node Similarity Way"]
+        + rows_sim
+    )

@@ -40,3 +40,30 @@ def test_non_abnormal_ids_excluded(spark, onto):
     gold = _df(spark, [("d1", "HP:0001250")])
     m = evaluate_sets(spark, pred, gold, onto)
     assert m["micro_p"] == 1.0
+
+
+def test_evaluate_report_format(spark, onto):
+    """Three-section multi-tool report in the reference's eval_all
+    format (eval_all.py:260-321)."""
+    from phenobert_spark.evaluate import evaluate_report
+
+    gold = spark.createDataFrame(
+        [("d1", "HP:0001250"), ("d1", "HP:0001249"), ("d2", "HP:0002315")],
+        "doc_id string, hpo_id string",
+    )
+    tool_a = spark.createDataFrame(
+        [("d1", "HP:0001250"), ("d2", "HP:0002315")],
+        "doc_id string, hpo_id string",
+    )
+    tool_b = spark.createDataFrame(
+        [("d1", "HP:0001251")], "doc_id string, hpo_id string"
+    )
+    rep = evaluate_report(
+        spark, {"EngineA": tool_a, "EngineB": tool_b}, gold, onto
+    )
+    lines = rep.splitlines()
+    assert lines[0] == "Evaluate in Micro Way"
+    assert "Evaluate in Macro Way" in lines
+    assert "Evaluate in Node Similarity Way" in lines
+    assert any(l.startswith("EngineA Precision: 1.0000") for l in lines)
+    assert sum("Similarity:" in l for l in lines) == 2
