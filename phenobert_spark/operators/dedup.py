@@ -330,3 +330,62 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash fingerprinting for
+    SUB-document dedup): a position ends a chunk when the hash of the
+    ``window``-char sequence ending there has a zero high nibble
+    (P=1/16, expected chunk ~16+window chars) — so chunk boundaries
+    survive insertions/deletions elsewhere in the document, unlike
+    fixed-size blocks.
+
+    Returns (id, chunk_idx, chunk_start, chunk_len, chunk_hash) — one
+    narrow JVM-side pass (sequence/transform/filter higher-order
+    functions + md5, whole-stage codegen; no UDF, no shuffle). md5 of
+    the window is the deterministic, DuckDB-checkable stand-in for a
+    production gear/buzhash rolling polynomial; the boundary RULE and
+    plan shape are identical.
+    """
+    w = int(window)
+    ends = F.expr(
+        f"""filter(
+              transform(sequence(1, greatest(length({text_col}) - {w} + 1, 1)),
+                        i -> CASE WHEN substr(md5(substring({text_col}, i, {w})), 1, 1) = '0'
+                                  THEN i + {w} - 1 END),
+              x -> x IS NOT NULL)"""
+    )
+    docs = docs.withColumn("_ends", ends).withColumn(
+        "_ends",
+        F.when(
+            (F.size("_ends") == 0)
+            | (F.element_at("_ends", -1) != F.length(text_col)),
+            F.concat("_ends", F.array(F.length(text_col))),
+        ).otherwise(F.col("_ends")),
+    )
+    starts = F.expr(
+        "transform(_ends, (e, i) -> CASE WHEN i = 0 THEN 1 ELSE _ends[i-1] + 1 END)"
+    )
+    chunks = F.expr(
+        f"""transform(_starts, (s, i) ->
+              struct(i AS chunk_idx, s AS chunk_start,
+                     _ends[i] - s + 1 AS chunk_len,
+                     md5(substring({text_col}, s, _ends[i] - s + 1)) AS chunk_hash))"""
+    )
+    return (
+        docs.withColumn("_starts", starts)
+        .withColumn("_c", F.explode(chunks))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("_c.chunk_start").cast("bigint").alias("chunk_start"),
+            F.col("_c.chunk_len").cast("bigint").alias("chunk_len"),
+            F.col("_c.chunk_hash").alias("chunk_hash"),
+        )
+        .filter(F.col("chunk_len") > 0)
+    )

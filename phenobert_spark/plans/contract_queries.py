@@ -1487,3 +1487,62 @@ def q38(spark, sf_dir):
     return cosine_neardup_lsh(
         spark, e, threshold=0.4, n_planes=64, band_bits=2
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q39_cdc_chunk_dedup",
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+        list_filter(
+          list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+                         i -> CASE WHEN substr(md5(substr(text, i::INT, 16)), 1, 1) = '0'
+                                   THEN i + 15 END),
+          x -> x IS NOT NULL) AS ends0
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, text,
+        CASE WHEN len(ends0) = 0 OR ends0[-1] != length(text)
+             THEN list_append(ends0, length(text)) ELSE ends0 END AS ends
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id,
+        unnest(list_transform(ends, (x, i) ->
+          struct_pack(chunk_start := CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END,
+                      chunk_len := x - (CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) + 1))) AS ch,
+        text
+      FROM e
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(text, ch.chunk_start::INT, ch.chunk_len::INT)) AS chunk_hash
+      FROM c WHERE ch.chunk_len > 0
+    )
+    SELECT chunk_hash,
+           COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM chunks
+    GROUP BY chunk_hash HAVING COUNT(*) > 1
+    ORDER BY chunk_hash
+    """,
+)
+def q39(spark, sf_dir):
+    """Content-defined-chunk dedup (operators/dedup.cdc_chunks): chunks
+    repeated across the corpus — the sub-document granularity of the
+    dedup family (boilerplate/quotation detection in training data).
+    One narrow JVM pass per doc + one groupBy shuffle on chunk_hash."""
+    from ..operators.dedup import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cdc_chunks(d, window=16)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy("chunk_hash")
+    )

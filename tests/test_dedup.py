@@ -132,3 +132,42 @@ def test_simhash_default_63_bits(spark):
     dist16 = bin(fp16[1] ^ fp16[6]).count("1")
     assert dist63 > dist16  # deterministic md5 -> stable pin
     assert dist63 >= 16     # unrelated docs are far apart at 63 bits
+
+
+def test_cdc_chunks_tile_and_survive_insertion(spark):
+    """Chunks tile each document exactly, and an insertion near the
+    start only disturbs chunks up to the next boundary — the defining
+    CDC property fixed-size blocking lacks."""
+    import hashlib
+
+    from phenobert_spark.operators.dedup import cdc_chunks
+
+    base = (
+        "The patient presented with recurrent seizures and delayed "
+        "growth over several months of observation. Follow-up imaging "
+        "demonstrated no structural abnormality of the brain. "
+    ) * 6
+    edited = "INSERTED TEXT. " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs, window=16).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    texts = {1: base, 2: edited}
+    for did, cs in by_doc.items():
+        cs.sort(key=lambda r: r.chunk_idx)
+        pos = 1
+        for c in cs:
+            assert c.chunk_start == pos
+            seg = texts[did][c.chunk_start - 1 : c.chunk_start - 1 + c.chunk_len]
+            assert hashlib.md5(seg.encode()).hexdigest() == c.chunk_hash
+            pos = c.chunk_start + c.chunk_len
+        assert pos - 1 == len(texts[did])
+    # boundary resync: most of the unedited document's chunk hashes
+    # reappear in the edited one
+    h1 = {c.chunk_hash for c in by_doc[1]}
+    h2 = {c.chunk_hash for c in by_doc[2]}
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.7, f"only {shared:.0%} of chunks survived the insertion"
