@@ -38,11 +38,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def run(name, fn):
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return n
+    def run(name, fn, repeats: int = 2):
+        # best-of-N: cross-invocation variance on this shared VM is ~2x
+        # (noisy neighbors); the minimum is the steady-state estimator,
+        # applied identically to every query.
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # Flagship: full KG pipeline over the documents table.
     onto = get_ontology()
