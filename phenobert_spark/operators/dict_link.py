@@ -19,13 +19,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dictionary_link(candidates: DataFrame, dict_df: DataFrame) -> DataFrame:
+def dictionary_link(
+    candidates: DataFrame,
+    dict_df: DataFrame,
+    has_syn_tier: bool = True,
+    has_drop_one: bool = True,
+) -> DataFrame:
     """candidates(key, lemma_key, ...) x dict(key, hpo_id, prio) ->
     + columns (hpo_id nullable, score nullable).
 
     A key can appear once in dict_df (unique by construction). The
     strict-key match wins; lemma-key match fills the misses — the exact
     composition of the reference's two-probe lookup.
+
+    ``has_syn_tier`` / ``has_drop_one``: whether dict_df carries prio-3 /
+    prio-4 rows. False skips that broadcast join entirely (probing an
+    empty broadcast relation is not free at 10^12 rows).
     """
     d1 = F.broadcast(
         dict_df.filter(F.col("prio") <= 1).select(
@@ -42,46 +51,46 @@ def dictionary_link(candidates: DataFrame, dict_df: DataFrame) -> DataFrame:
             F.col("key").alias("_k3"), F.col("hpo_id").alias("_h3")
         )
     )
-    # prio 3: synonym-substituted variant keys in lemma space (mined
-    # from same-concept surface forms, ontology.synonym_pairs) — probed
-    # by the same lemma_key column, one more broadcast hash join.
-    d4 = F.broadcast(
-        dict_df.filter(F.col("prio") == 3).select(
-            F.col("key").alias("_k4"), F.col("hpo_id").alias("_h4")
-        )
-    )
-    # prio 4: dictionary-side drop-one variants (Ontology.dict_df
-    # drop_one=True); empty unless the tier is enabled.
-    d5 = F.broadcast(
-        dict_df.filter(F.col("prio") == 4).select(
-            F.col("key").alias("_k5"), F.col("hpo_id").alias("_h5")
-        )
-    )
     out = (
         candidates.join(d1, F.col("key") == F.col("_k1"), "left")
         .join(d2, F.col("lemma_key") == F.col("_k2"), "left")
         .join(d3, F.col("stem_key") == F.col("_k3"), "left")
-        .join(d4, F.col("lemma_key") == F.col("_k4"), "left")
-        .join(d5, F.col("lemma_key") == F.col("_k5"), "left")
-        .withColumn(
-            "hpo_id",
-            F.coalesce(
-                F.col("_h1"), F.col("_h2"), F.col("_h3"), F.col("_h4"),
-                F.col("_h5"),
-            ),
-        )
-        .withColumn(
-            "score",
-            F.when(F.coalesce(F.col("_h1"), F.col("_h2")).isNotNull(), F.lit(1.0))
-            .when(F.col("_h3").isNotNull(), F.lit(0.9))
-            .when(F.col("_h4").isNotNull(), F.lit(0.85))
-            .when(F.col("_h5").isNotNull(), F.lit(0.8))
-            .cast("double"),
-        )
-        .drop("_k1", "_h1", "_k2", "_h2", "_k3", "_h3", "_k4", "_h4",
-              "_k5", "_h5")
     )
-    return out
+    drop_cols = ["_k1", "_h1", "_k2", "_h2", "_k3", "_h3"]
+    hpo_tiers = [F.col("_h1"), F.col("_h2"), F.col("_h3")]
+    score = F.when(
+        F.coalesce(F.col("_h1"), F.col("_h2")).isNotNull(), F.lit(1.0)
+    ).when(F.col("_h3").isNotNull(), F.lit(0.9))
+    if has_syn_tier:
+        # prio 3: synonym-substituted variant keys in lemma space (mined
+        # from same-concept surface forms + seeded anatomical pairs) —
+        # probed by the same lemma_key column, one more broadcast join.
+        d4 = F.broadcast(
+            dict_df.filter(F.col("prio") == 3).select(
+                F.col("key").alias("_k4"), F.col("hpo_id").alias("_h4")
+            )
+        )
+        out = out.join(d4, F.col("lemma_key") == F.col("_k4"), "left")
+        drop_cols += ["_k4", "_h4"]
+        hpo_tiers.append(F.col("_h4"))
+        score = score.when(F.col("_h4").isNotNull(), F.lit(0.85))
+    if has_drop_one:
+        # prio 4: dictionary-side drop-one variants (Ontology.dict_df
+        # drop_one=True).
+        d5 = F.broadcast(
+            dict_df.filter(F.col("prio") == 4).select(
+                F.col("key").alias("_k5"), F.col("hpo_id").alias("_h5")
+            )
+        )
+        out = out.join(d5, F.col("lemma_key") == F.col("_k5"), "left")
+        drop_cols += ["_k5", "_h5"]
+        hpo_tiers.append(F.col("_h5"))
+        score = score.when(F.col("_h5").isNotNull(), F.lit(0.8))
+    return (
+        out.withColumn("hpo_id", F.coalesce(*hpo_tiers))
+        .withColumn("score", score.cast("double"))
+        .drop(*drop_cols)
+    )
 
 
 def drop_one_link(

@@ -101,7 +101,12 @@ def annotate(
             drop_one=cfg.drop_one_dict,
         )
     )
-    linked = dictionary_link(cands, dict_df)
+    linked = dictionary_link(
+        cands,
+        dict_df,
+        has_syn_tier=cfg.syn_tier_min_count is not None,
+        has_drop_one=cfg.drop_one_dict,
+    )
 
     matched = linked.filter(F.col("hpo_id").isNotNull())
 

@@ -66,10 +66,14 @@ def test_sorted_bag_key_order_insensitive(tokens):
 @settings(max_examples=300, deadline=None)
 @given(_token)
 def test_lemma_and_stem_idempotent_enough(tok):
-    # stems never grow and always keep >= 1 char; lemma is stable
-    assert len(stem(tok)) <= len(tok)
+    # stems keep >= 1 char and never grow beyond the irregular-plural
+    # rewrites ("nevi" -> "nevus" gains one char); lemma is stable
+    assert len(stem(tok)) <= len(tok) + 2
     assert len(stem(tok)) >= 1
     assert lemma(lemma(tok)) == lemma(lemma(lemma(tok)))
+    # the orthography fold is exhausted after one lemma pass: a folded
+    # token never re-folds differently
+    assert stem(stem(tok)) == stem(stem(stem(tok)))
 
 
 @settings(max_examples=200, deadline=None)
