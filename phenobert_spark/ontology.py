@@ -557,6 +557,15 @@ def reconstruct_alt_ids(
 
     from .corpus import parse_gold_rows
 
+    from .functions.normalize import lemma
+
+    base: dict[str, str] = dict(onto.phrase2hpo)
+    for k, h in onto.simple2hpo.items():
+        base.setdefault(k, h)
+    lemma_space: dict[str, str] = {}
+    for k, h in base.items():
+        lemma_space.setdefault(" ".join(sorted(lemma(t) for t in k.split())), h)
+
     by_obsolete: dict[str, set[str]] = defaultdict(set)
     for ds in datasets:
         ann_dir = os.path.join(root, "phenobert", "data", ds, "ann")
@@ -564,8 +573,10 @@ def reconstruct_alt_ids(
             continue
         for _, _, _, mention, hpo in parse_gold_rows(ds, root):
             if onto.canonical(hpo) not in onto.names:
-                key = sorted_bag_key(process_str(mention))
-                modern = onto.phrase2hpo.get(key) or onto.simple2hpo.get(key)
+                toks = process_str(mention)
+                key = sorted_bag_key(toks)
+                lkey = " ".join(sorted(lemma(t) for t in toks))
+                modern = base.get(key) or base.get(lkey) or lemma_space.get(lkey)
                 if modern is not None:
                     by_obsolete[hpo].add(modern)
     return {
