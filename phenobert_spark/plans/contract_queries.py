@@ -433,19 +433,32 @@ def q12(spark, sf_dir):
     SELECT lang,
            SUM(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
            ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+           SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')))::BIGINT
+             AS bpe_tokens,
            SUM(n_chars)::BIGINT AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
 def q13(spark, sf_dir):
-    """Token counting (whitespace tokenizer) + char totals per lang."""
+    """Token counting per lang: whitespace tokens AND a BPE-style
+    pre-tokenizer count (GPT-2's pre-tokenization split — letter runs,
+    digit runs, punctuation runs, each with an optional leading space —
+    restricted to lookahead-free syntax so Java regex and DuckDB RE2
+    count identically). The BPE count is the standard training-data
+    budget unit; whitespace tokens are the cheap proxy."""
     d = _t(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.trim("text"), r"\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), 0
+        )
+    )
     return (
         d.groupBy("lang")
         .agg(
             F.sum(ntok).cast("bigint").alias("total_tokens"),
             F.round(F.avg(ntok), 4).alias("avg_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
         .orderBy("lang")
