@@ -90,3 +90,63 @@ def extract_binary_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_off", LongType(), False),
+        StructField("frame_sha", StringType(), False),
+        StructField("sum_byte", LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame, frame_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Frame sampling over opaque binary payloads (the video
+    frame-sample analog): frame k covers bytes [k*stride, k*stride +
+    frame_size) while it fits; partial tails are dropped
+    (deterministic). Emits per-frame identity (md5) and a vectorized
+    numeric summary (byte sum — numpy sliding windows, one strided
+    view per payload, no per-byte Python; an integer so the SQL oracle
+    compares exactly, free of float rounding conventions).
+
+    This is the real plumbing of a decode->frame-sample stage: the
+    explode factor, Arrow batch shape, and per-frame keys are identical
+    whether the payload is a fake container (here) or a production
+    codec stream (decode_payload, env-gated).
+    """
+    import hashlib as _hl
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "frame_off": [],
+                "frame_sha": [], "sum_byte": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                buf = np.frombuffer(raw, dtype=np.uint8)
+                if len(buf) < frame_size:
+                    continue
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    buf, frame_size
+                )[::stride]
+                sums = wins.sum(axis=1, dtype=np.int64)  # vectorized
+                for k in range(len(wins)):
+                    off = k * stride
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(k)
+                    out["frame_off"].append(off)
+                    out["frame_sha"].append(
+                        _hl.md5(raw[off : off + frame_size]).hexdigest()
+                    )
+                    out["sum_byte"].append(int(sums[k]))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(kernel, FRAMES_SCHEMA)

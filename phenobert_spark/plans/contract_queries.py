@@ -1559,3 +1559,40 @@ def q39(spark, sf_dir):
         .filter(F.col("n_occurrences") > 1)
         .orderBy("chunk_hash")
     )
+
+
+@register(
+    "q94_frame_sample",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest((length(text) - 64) // 48 + 1, 0)),
+               k -> struct_pack(
+                 frame_idx := k,
+                 frame_off := k * 48,
+                 fr := substr(text, (k * 48 + 1)::INT, 64)))) AS w
+      FROM documents WHERE length(text) >= 64
+    )
+    SELECT doc_id, w.frame_idx AS frame_idx, w.frame_off AS frame_off,
+           md5(w.fr) AS frame_sha,
+           list_aggregate(list_transform(range(1, 65),
+                 i -> ord(substr(w.fr, i::INT, 1))), 'sum')::BIGINT
+             AS sum_byte
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def q94(spark, sf_dir):
+    """Frame sampling (operators/multimodal.sample_frames) over the
+    documents table cast to binary payloads; byte frames equal char
+    frames because the synthetic corpus is ASCII, which is what lets a
+    SQL oracle verify a binary-column kernel exactly. frame_size=64,
+    stride=48; the numeric summary is the integer byte sum so no float
+    rounding convention can diverge between engines."""
+    from ..operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_frames(blobs, frame_size=64, stride=48).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -84,3 +84,23 @@ def test_lsh_neardup_finds_planted_duplicates(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_frames_alignment(spark):
+    """Frames are stride-aligned byte windows; identity and sum match a
+    direct computation; payloads shorter than one frame emit nothing."""
+    import hashlib
+
+    from phenobert_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(200))
+    rows = [(1, bytearray(payload)), (2, bytearray(b"short"))]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sample_frames(blobs, frame_size=64, stride=48).collect()
+    assert {r.doc_id for r in got} == {1}
+    exp_frames = [(k, k * 48) for k in range((200 - 64) // 48 + 1)]
+    assert [(r.frame_idx, r.frame_off) for r in sorted(got, key=lambda r: r.frame_idx)] == exp_frames
+    for r in got:
+        seg = payload[r.frame_off : r.frame_off + 64]
+        assert r.frame_sha == hashlib.md5(seg).hexdigest()
+        assert r.sum_byte == sum(seg)
