@@ -18,6 +18,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -150,3 +151,63 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+def resize_grids(
+    blobs: DataFrame,
+    width_col: str = "width",
+    out_size: int = 8,
+) -> DataFrame:
+    """Image-resize analog over RAW byte grids: each payload is a
+    row-major uint8 grid of ``width`` columns (the decoded-pixel shape a
+    real codec would hand over); area-average pooling shrinks it to
+    out_size x out_size. The pooling kernel is the real one (pure numpy
+    reshape/mean per Arrow batch) — only the codec decode in front of it
+    is env-gated (decode_payload). Rows whose payload is smaller than
+    one output cell per axis are dropped.
+
+    Returns (doc_id, grid BINARY of out_size*out_size uint8 bytes,
+    grid_sha).
+    """
+    import hashlib as _hl
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("grid", BinaryType(), False),
+            StructField("grid_sha", StringType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "grid": [], "grid_sha": []}
+            for doc_id, payload, width in zip(
+                pdf["doc_id"], pdf["payload"], pdf[width_col]
+            ):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                w = int(width)
+                h = len(buf) // w
+                if h < out_size or w < out_size:
+                    continue
+                # crop to a multiple of out_size on both axes, then
+                # area-average pool (reshape + mean over cell blocks)
+                ch, cw = (h // out_size) * out_size, (w // out_size) * out_size
+                grid = buf[: h * w].reshape(h, w)[:ch, :cw]
+                pooled = (
+                    grid.reshape(
+                        out_size, ch // out_size, out_size, cw // out_size
+                    )
+                    .mean(axis=(1, 3))
+                    .round()
+                    .astype(np.uint8)
+                )
+                raw = pooled.tobytes()
+                out["doc_id"].append(int(doc_id))
+                out["grid"].append(bytearray(raw))
+                out["grid_sha"].append(_hl.sha256(raw).hexdigest())
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(kernel, schema)

@@ -104,3 +104,29 @@ def test_sample_frames_alignment(spark):
         seg = payload[r.frame_off : r.frame_off + 64]
         assert r.frame_sha == hashlib.md5(seg).hexdigest()
         assert r.sum_byte == sum(seg)
+
+
+def test_resize_grids_area_average(spark):
+    """Area-average pooling matches a direct numpy computation; grids
+    smaller than the target are dropped."""
+    import hashlib
+
+    import numpy as np
+
+    from phenobert_spark.operators.multimodal import resize_grids
+
+    rng = np.random.RandomState(11)
+    grid = rng.randint(0, 256, size=(24, 16), dtype=np.uint8)
+    rows = [
+        (1, bytearray(grid.tobytes()), 16),
+        (2, bytearray(b"tiny"), 2),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary, width int")
+    got = resize_grids(blobs, out_size=8).collect()
+    assert {r.doc_id for r in got} == {1}
+    expected = (
+        grid.reshape(8, 3, 8, 2).mean(axis=(1, 3)).round().astype(np.uint8)
+    )
+    r = got[0]
+    assert bytes(r.grid) == expected.tobytes()
+    assert r.grid_sha == hashlib.sha256(expected.tobytes()).hexdigest()
