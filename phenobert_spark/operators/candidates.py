@@ -100,16 +100,32 @@ def _derived_keys(key: str) -> tuple[str, str]:
     return out
 
 
+# A '.' after these tokens is an abbreviation dot, not a sentence end
+# (NLTK Punkt — the reference's sentence splitter, util.py:578-595 —
+# learns these from its pretrained abbreviation lists; pinned subset
+# for determinism). Text is lowercased by normalization.
+_ABBREVIATIONS = frozenset(
+    {
+        "dr", "mr", "mrs", "ms", "prof", "vs", "etc", "fig", "figs",
+        "al", "cf", "approx", "ca", "resp", "spp", "syn",
+    }
+)
+
+
 def _clauses(tokens: list[_Tok]) -> list[list[_Tok]]:
     out: list[list[_Tok]] = []
     cur: list[_Tok] = []
+    prev = ""
     for tok in tokens:
-        if tok[0] in CLAUSE_SPLITERS:
+        if tok[0] == "." and prev in _ABBREVIATIONS:
+            pass  # abbreviation dot: neither a break nor a token
+        elif tok[0] in CLAUSE_SPLITERS:
             if cur:
                 out.append(cur)
             cur = []
         else:
             cur.append(tok)
+        prev = tok[0]
     if cur:
         out.append(cur)
     return out

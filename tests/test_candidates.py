@@ -71,3 +71,21 @@ def test_chunker_covers_text_exactly():
 def test_pure_number_phrases_dropped():
     assert "12" not in keys("value 12.")
     assert all("3 5" not in k for k in keys("3 5."))
+
+
+def test_abbreviation_dot_does_not_split_clause():
+    """A '.' after a known abbreviation (Punkt-style) keeps the clause
+    alive: negation scope carries across 'et al.' but a real sentence
+    end still resets it."""
+    from phenobert_spark.operators.candidates import candidates_of_text
+
+    # abbreviation dot: negation carries over to 'seizures'
+    cands = candidates_of_text("no data from Smith et al. seizures occurred")
+    seiz = [c for c in cands if c[2] == "seizures"]
+    assert seiz and seiz[0][-2] is True
+    # the swallowed abbreviation dot never appears inside a k-mer key
+    assert not any("." in c[3] for c in cands)
+    # real sentence end: negation scope resets
+    cands2 = candidates_of_text("no data were found. seizures occurred")
+    seiz2 = [c for c in cands2 if c[2] == "seizures"]
+    assert seiz2 and seiz2[0][-2] is False
