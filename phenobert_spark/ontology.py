@@ -78,9 +78,18 @@ _SEED_PAIRS = [
     ("mandibular", "mandible"), ("maxillary", "maxilla"),
     ("neurinoma", "schwannoma"),
 ]
-SEED_SUBSTITUTIONS = [
-    (frozenset({a}), frozenset({b})) for a, b in _SEED_PAIRS
-] + [(frozenset({b}), frozenset({a})) for a, b in _SEED_PAIRS]
+# Phrase-level seeds: HPO's own 2017 terminology migration renamed
+# "mental retardation" to "intellectual disability" across the ontology
+# (public release notes); older dictionaries carry one side only.
+_SEED_PHRASE_PAIRS = [
+    (frozenset({"mental", "retardation"}), frozenset({"intellectual", "disability"})),
+]
+SEED_SUBSTITUTIONS = (
+    [(frozenset({a}), frozenset({b})) for a, b in _SEED_PAIRS]
+    + [(frozenset({b}), frozenset({a})) for a, b in _SEED_PAIRS]
+    + _SEED_PHRASE_PAIRS
+    + [(b, a) for a, b in _SEED_PHRASE_PAIRS]
+)
 
 
 class PruneVocab:

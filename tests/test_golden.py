@@ -28,9 +28,10 @@ pytestmark = pytest.mark.skipif(
 
 # Floors measured on the dictionary-only path (see BENCH/BASELINE.md).
 # Round-2 measured (syn tier + alt-ids + ortho/irregular-plural folds +
-# seeded adj->noun substitutions + split variants):
-# GSC+ 0.826/0.653/0.729, ID-68 0.933/0.718/0.811,
-# GeneReviews 0.929/0.773/0.844, val 0.877/0.764/0.817.
+# seeded adj->noun + mental-retardation/intellectual-disability phrase
+# seed + split variants):
+# GSC+ 0.826/0.652/0.729, ID-68 0.935/0.719/0.813,
+# GeneReviews 0.925/0.782/0.847, val 0.878/0.766/0.818.
 FLOORS = {
     "GSC+": {"micro_p": 0.81, "micro_r": 0.64, "micro_f1": 0.72},
     "ID-68": {"micro_p": 0.925, "micro_r": 0.71, "micro_f1": 0.805},
