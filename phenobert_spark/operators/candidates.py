@@ -175,10 +175,10 @@ def candidates_of_text(
     singleton_stopwords: frozenset[str] = NLTK_STOPWORDS,
     vocab: frozenset[str] | set[str] | None = None,
     gate_vocab: frozenset[str] | None = None,
-) -> list[tuple[int, int, str, str, str, int, bool]]:
+) -> list[tuple[int, int, str, str, str, str, int, bool, bool]]:
     """Plain-Python core (unit-testable without Spark). Returns tuples
-    (start, end, mention, key, lemma_key, n_tokens, negated) with
-    offsets shifted by ``chunk_start``.
+    (start, end, mention, key, lemma_key, stem_key, n_tokens, negated,
+    gappy) with offsets shifted by ``chunk_start``.
 
     ``vocab``: optional dictionary vocabulary for EXACT candidate
     pruning — a k-mer whose sorted-bag key (or lemma key) could ever

@@ -1,16 +1,22 @@
 """Step-1 dictionary entity linking (SURVEY.md §2.3 J1; reference
 ``matchPhrase2HPO`` util.py:409-421 applied at util.py:1044-1052).
 
-Two broadcast hash joins against the ontology surface-form dimension:
+Tiered broadcast hash joins against the ontology surface-form
+dimension, highest priority wins via ``coalesce``:
 
-1. exact sorted-bag key,
-2. lemma-fallback key for the misses,
-3. stemmed-key tier for the remaining misses (``coalesce`` of the
-   three; morphological-variant extension beyond the reference).
+1. exact sorted-bag key (score 1.0),
+2. lemma/orthography-folded key for the misses (score 1.0),
+3. stemmed-key tier (score 0.9; morphological-variant extension
+   beyond the reference),
+4. mined+seeded synonym-variant keys in lemma space (score 0.85;
+   present when the syn tier is enabled),
+5. dictionary-side drop-one variants (score 0.8; default-off).
 
-The dictionary is ~48.6k rows (BASELINE.md) — a textbook broadcast
-dimension; Catalyst plans both joins as BroadcastHashJoin with zero
-shuffle. Matched rows carry score 1.0 (util.py:1052).
+Tiers 4/5 are skipped entirely — no join in the plan — when their
+rows are absent (``has_syn_tier`` / ``has_drop_one``). The dictionary
+is ~50-150k rows depending on tiers (BASELINE.md) — a textbook
+broadcast dimension; every join is a BroadcastHashJoin with zero
+shuffle. Exact/lemma matches carry score 1.0 (util.py:1052).
 """
 
 from __future__ import annotations
