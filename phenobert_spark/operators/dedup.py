@@ -353,12 +353,15 @@ def cdc_chunks(
     plan shape are identical.
     """
     w = int(window)
+    # documents shorter than one window have no interior boundary and
+    # become a single whole-document chunk (the tail-append below)
     ends = F.expr(
-        f"""filter(
-              transform(sequence(1, greatest(length({text_col}) - {w} + 1, 1)),
+        f"""CASE WHEN length({text_col}) < {w} THEN CAST(array() AS ARRAY<INT>)
+            ELSE filter(
+              transform(sequence(1, length({text_col}) - {w} + 1),
                         i -> CASE WHEN substr(md5(substring({text_col}, i, {w})), 1, 1) = '0'
                                   THEN i + {w} - 1 END),
-              x -> x IS NOT NULL)"""
+              x -> x IS NOT NULL) END"""
     )
     docs = docs.withColumn("_ends", ends).withColumn(
         "_ends",

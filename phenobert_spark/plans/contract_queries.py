@@ -1507,11 +1507,12 @@ def q38(spark, sf_dir):
     r"""
     WITH b AS (
       SELECT doc_id, text,
-        list_filter(
-          list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+        CASE WHEN length(text) < 16 THEN []::BIGINT[]
+        ELSE list_filter(
+          list_transform(range(1, length(text) - 15 + 1),
                          i -> CASE WHEN substr(md5(substr(text, i::INT, 16)), 1, 1) = '0'
                                    THEN i + 15 END),
-          x -> x IS NOT NULL) AS ends0
+          x -> x IS NOT NULL) END AS ends0
       FROM documents
     ),
     e AS (
