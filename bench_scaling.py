@@ -105,16 +105,28 @@ def main() -> None:
     # invocation variance on this VM is ~20%; per-level best-of-all
     # is the robust estimator.
     lo_runs, hi_runs = [], []
-    for _ in range(int(os.environ.get("SCALING_JVMS", "2"))):
+    for _ in range(int(os.environ.get("SCALING_JVMS", "3"))):
         lo_runs.append(run_level(4, sf_dir, n_runs=2))
         hi_runs.append(run_level(16, sf_dir, n_runs=2))
     lo = best_of_levels(lo_runs)
     hi = best_of_levels(hi_runs)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    # Paired estimator: background load on this shared VM drifts on a
+    # minutes scale, inflating or deflating whichever level happens to
+    # run during a slow window. Each interleave iteration yields a
+    # time-ADJACENT (lo, hi) pair; the per-pair ratio cancels the
+    # drift, and the median across pairs is robust to one bad window.
+    pair_effs = [
+        round(l["n_docs"] / h["sec"] / (4 * l["n_docs"] / l["sec"]), 4)
+        for l, h in zip(lo_runs, hi_runs)
+    ]
+    paired_median = sorted(pair_effs)[len(pair_effs) // 2]
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 4),
         "unit": "ratio",
+        "value_paired_median": paired_median,
+        "pair_effs": pair_effs,
         "n_level": lo,
         "four_n_level": hi,
         "sf_dir": sf_dir,
