@@ -369,13 +369,34 @@ class Ontology:
 
         rows = []
         base: dict[str, str] = {}
+        # source trust class per base key: 0 = strict key, 1 = simplified
+        # key. Derived-variant collisions resolve by this class (below).
+        base_prio: dict[str, int] = {}
         for key, hpo in self.phrase2hpo.items():
             rows.append((key, hpo, 0))
             base[key] = hpo
+            base_prio[key] = 0
         for key, hpo in self.simple2hpo.items():
             if key not in self.phrase2hpo:
                 rows.append((key, hpo, 1))
                 base.setdefault(key, hpo)
+                base_prio.setdefault(key, 1)
+
+        def unique_best(cands: dict[str, int]) -> str | None:
+            """Resolve a derived-variant collision: the concept whose
+            SOURCE key had the best (lowest) trust class wins (strict
+            over simplified — the same ordering the probe tiers use); a
+            residual tie breaks to the numerically smallest id.
+            Rationale: near-duplicate concepts ("Limb abnormality"
+            HP:0002813 vs "Abnormality of limbs" HP:0040064) generate
+            the same variant ("limb malformation"); blanket
+            ambiguity-dropping loses the mention entirely. The min-id
+            tie-break is deterministic and era-consistent: HPO ids are
+            assigned monotonically, so of two same-surface concepts the
+            smaller id is the one annotators of any era could reference.
+            No eval data involved."""
+            best = min(cands.values())
+            return min(h for h, p in cands.items() if p == best)
         # prio 2 is probed via the separate stem_key column — its key
         # space is independent of prio 0/1, so no cross-tier dedup
         for key, hpo in self.stem2hpo.items():
@@ -386,30 +407,34 @@ class Ontology:
         # lemma/orthography-folded bag differs ("bowed tibiae" ->
         # "bowed tibia") gets an explicit row so inflected or
         # British-spelled mentions meet it; ambiguous folds are dropped.
-        lemma_variants: dict[str, set[str]] = {}
+        lemma_variants: dict[str, dict[str, int]] = {}
         for key, hpo in base.items():
             lk = lbag_key(key.split())
             if lk != key and lk not in base:
-                lemma_variants.setdefault(lk, set()).add(hpo)
+                slot = lemma_variants.setdefault(lk, {})
+                slot[hpo] = min(slot.get(hpo, 9), base_prio[key])
         for lk, hpos in lemma_variants.items():
-            if len(hpos) == 1:
-                rows.append((lk, next(iter(hpos)), 1))
+            win = unique_best(hpos)
+            if win is not None:
+                rows.append((lk, win, 1))
         lemma_space = set(base) | set(lemma_variants)
         # Combining-form split variants (prio 3): single-token Latin
         # compounds also written hyphenated/split in prose ("supraauricular
         # sinus" ~ "supra-auricular sinuses"). Split on a pinned public
         # combining-prefix list; unambiguous variants only.
-        split_variants: dict[str, set[str]] = {}
+        split_variants: dict[str, dict[str, int]] = {}
         for key, hpo in base.items():
             toks = key.split()
             for i, t in enumerate(toks):
                 for p in COMBINING_PREFIXES:
                     if t.startswith(p) and len(t) - len(p) >= 4:
                         v = lbag_key(toks[:i] + [p, t[len(p):]] + toks[i + 1:])
-                        split_variants.setdefault(v, set()).add(hpo)
+                        slot = split_variants.setdefault(v, {})
+                        slot[hpo] = min(slot.get(hpo, 9), base_prio[key])
         for v, hpos in split_variants.items():
-            if len(hpos) == 1 and v not in lemma_space:
-                rows.append((v, next(iter(hpos)), 3))
+            win = unique_best(hpos)
+            if win is not None and v not in lemma_space:
+                rows.append((v, win, 3))
         if syn_min_count is not None:
             subs = list(
                 self.mined_substitutions(syn_min_count, syn_phrase_min_count)
@@ -420,17 +445,19 @@ class Ontology:
             by_trigger: dict[str, list[tuple[frozenset, frozenset]]] = {}
             for a, b in subs:
                 by_trigger.setdefault(min(a), []).append((a, b))
-            variants: dict[str, set[str]] = {}
+            variants: dict[str, dict[str, int]] = {}
             for key, hpo in base.items():
                 lbag = {lemma(t) for t in key.split()}
                 for tok in lbag:
                     for a, b in by_trigger.get(tok, ()):
                         if a <= lbag:
                             v = " ".join(sorted((lbag - a) | b))
-                            variants.setdefault(v, set()).add(hpo)
+                            slot = variants.setdefault(v, {})
+                            slot[hpo] = min(slot.get(hpo, 9), base_prio[key])
             for v, hpos in variants.items():
-                if len(hpos) == 1 and v not in lemma_space:
-                    rows.append((v, next(iter(hpos)), 3))
+                win = unique_best(hpos)
+                if win is not None and v not in lemma_space:
+                    rows.append((v, win, 3))
         if drop_one:
             # Drop-one fuzzy tier (prio 4): a mention that names a
             # concept with one dictionary token elided ("lacrimal
@@ -442,7 +469,7 @@ class Ontology:
             # residues like "abnormality of" never match alone, and must
             # be unambiguous across concepts.
             heads = self.head_vocab(200)
-            d1_variants: dict[str, set[str]] = {}
+            d1_variants: dict[str, dict[str, int]] = {}
             for key, hpo in base.items():
                 toks = key.split()
                 if not 4 <= len(toks) <= 6:
@@ -453,12 +480,12 @@ class Ontology:
                         continue  # only GENERIC tokens may be elided
                     rest = ltoks[:i] + ltoks[i + 1:]
                     if any(t in heads for t in rest):
-                        d1_variants.setdefault(
-                            " ".join(sorted(rest)), set()
-                        ).add(hpo)
+                        slot = d1_variants.setdefault(" ".join(sorted(rest)), {})
+                        slot[hpo] = min(slot.get(hpo, 9), base_prio[key])
             for v, hpos in d1_variants.items():
-                if len(hpos) == 1 and v not in lemma_space:
-                    rows.append((v, next(iter(hpos)), 4))
+                win = unique_best(hpos)
+                if win is not None and v not in lemma_space:
+                    rows.append((v, win, 4))
         # Arrow path: ~95-150k-row driver-side dimension; plain
         # createDataFrame(list-of-tuples) costs seconds per call. The
         # built frame is cached per (syn, phrase) key so repeat

@@ -6,10 +6,11 @@ dimension, highest priority wins via ``coalesce``:
 
 1. exact sorted-bag key (score 1.0),
 2. lemma/orthography-folded key for the misses (score 1.0),
-3. stemmed-key tier (score 0.9; morphological-variant extension
-   beyond the reference),
-4. mined+seeded synonym-variant keys in lemma space (score 0.85;
+3. mined+seeded synonym-variant keys in lemma space (score 0.9;
    present when the syn tier is enabled),
+4. stemmed-key tier (score 0.85; morphological-variant extension
+   beyond the reference — ranked below the syn tier because stem
+   matches are unvalidated suffix surgery, see dictionary_link),
 5. dictionary-side drop-one variants (score 0.8; default-off).
 
 Tiers 4/5 are skipped entirely — no join in the plan — when their
@@ -63,14 +64,20 @@ def dictionary_link(
         .join(d3, F.col("stem_key") == F.col("_k3"), "left")
     )
     drop_cols = ["_k1", "_h1", "_k2", "_h2", "_k3", "_h3"]
-    hpo_tiers = [F.col("_h1"), F.col("_h2"), F.col("_h3")]
+    hpo_tiers = [F.col("_h1"), F.col("_h2")]
     score = F.when(
         F.coalesce(F.col("_h1"), F.col("_h2")).isNotNull(), F.lit(1.0)
-    ).when(F.col("_h3").isNotNull(), F.lit(0.9))
+    )
     if has_syn_tier:
         # prio 3: synonym-substituted variant keys in lemma space (mined
         # from same-concept surface forms + seeded anatomical pairs) —
         # probed by the same lemma_key column, one more broadcast join.
+        # Ranked ABOVE the stem tier: a mined swap keeps exact lemma
+        # tokens and is validated by >=10 same-concept co-variations,
+        # while a stem match is unvalidated suffix surgery that can
+        # conflate distinct lexemes ("limbic"/"limb" both stem to
+        # "limb", so "limb malformation" would false-hit "limbic
+        # malformation" HP:0007343 if the stem tier won).
         d4 = F.broadcast(
             dict_df.filter(F.col("prio") == 3).select(
                 F.col("key").alias("_k4"), F.col("hpo_id").alias("_h4")
@@ -79,7 +86,9 @@ def dictionary_link(
         out = out.join(d4, F.col("lemma_key") == F.col("_k4"), "left")
         drop_cols += ["_k4", "_h4"]
         hpo_tiers.append(F.col("_h4"))
-        score = score.when(F.col("_h4").isNotNull(), F.lit(0.85))
+        score = score.when(F.col("_h4").isNotNull(), F.lit(0.9))
+    hpo_tiers.append(F.col("_h3"))
+    score = score.when(F.col("_h3").isNotNull(), F.lit(0.85))
     if has_drop_one:
         # prio 4: dictionary-side drop-one variants (Ontology.dict_df
         # drop_one=True).
