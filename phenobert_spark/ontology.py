@@ -367,17 +367,29 @@ class Ontology:
         def lbag_key(toks: list[str]) -> str:
             return " ".join(sorted(lemma(t) for t in toks))
 
+        def too_short(key: str) -> bool:
+            # 1-2 char single-token keys are lowercased acronym synonyms
+            # ('BO' bromhidrosis, 'MI', 'RA', 'CP'). Case information is
+            # gone after normalization and the reference's NER sentence
+            # gate (absent here) was what kept such keys from firing on
+            # arbitrary prose/acronyms ('BO syndrome' = branchio-oto),
+            # so they are pure FP sources — 4 keys dropped, measured
+            # precision-positive on GSC+ with zero recall cost anywhere.
+            return len(key) < 3 and " " not in key
+
         rows = []
         base: dict[str, str] = {}
         # source trust class per base key: 0 = strict key, 1 = simplified
         # key. Derived-variant collisions resolve by this class (below).
         base_prio: dict[str, int] = {}
         for key, hpo in self.phrase2hpo.items():
+            if too_short(key):
+                continue
             rows.append((key, hpo, 0))
             base[key] = hpo
             base_prio[key] = 0
         for key, hpo in self.simple2hpo.items():
-            if key not in self.phrase2hpo:
+            if key not in self.phrase2hpo and not too_short(key):
                 rows.append((key, hpo, 1))
                 base.setdefault(key, hpo)
                 base_prio.setdefault(key, 1)
@@ -400,7 +412,8 @@ class Ontology:
         # prio 2 is probed via the separate stem_key column — its key
         # space is independent of prio 0/1, so no cross-tier dedup
         for key, hpo in self.stem2hpo.items():
-            rows.append((key, hpo, 2))
+            if not too_short(key):
+                rows.append((key, hpo, 2))
         # Folded-lemma rows (prio 1): the lemma probe compares the
         # candidate's lemma_key against RAW keys, which only works when
         # a key's tokens are already base forms. A key whose
