@@ -76,7 +76,7 @@ _SEED_PAIRS = [
     ("osseous", "bone"), ("oral", "mouth"), ("nasal", "nose"),
     ("digital", "finger"), ("vertebral", "vertebra"),
     ("mandibular", "mandible"), ("maxillary", "maxilla"),
-    ("neurinoma", "schwannoma"),
+    ("neurinoma", "schwannoma"), ("neurinoma", "neuroma"),
 ]
 # Phrase-level seeds: HPO's own 2017 terminology migration renamed
 # "mental retardation" to "intellectual disability" across the ontology
