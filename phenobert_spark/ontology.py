@@ -31,6 +31,7 @@ a classic broadcast dimension. It is exposed both as Spark DataFrames
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -536,6 +537,68 @@ class Ontology:
         return spark.createDataFrame(rows, EDGES_SCHEMA)
 
 
+# HPO name-style separators that never survive prose tokenization (the
+# document side maps punctuation to clause breaks, T3/T10), so a key
+# built over them is unreachable: inversion commas ("Hypotonia, severe"),
+# prefix colons ("EMG: chronic denervation signs"), and parenthetical
+# glosses ("Absent toenails (anonychia)"). The reference keys these
+# surfaces verbatim (util.py:324-327) and lets the trained CNN absorb
+# the miss; without those weights the lexical tier must normalize them
+# instead. Keys are sorted bags, so comma inversion costs nothing once
+# the comma is gone. Slash is handled separately: in HPO names it means
+# ALTERNATION ("Cleft lip/palate", "Renal hypoplasia/agenesis"), so
+# merging both sides into one bag would out-span the correct
+# conjunction-split matches ("cleft lip and palate" must stay
+# lip + palate, not one lip-palate concept) — measured -7/+3 on GSC+.
+# Instead each slash token expands to per-side variant surfaces that
+# are only added where no key exists yet (never hijacking a concept's
+# own name, e.g. "cleft palate" stays HP:0000175).
+_PAREN_GLOSS_RE = re.compile(r"\s*\([^)]*\)")
+_NAME_SEP_RE = re.compile(r"[,;:]")
+
+
+def _clean_surface(phrase: str) -> str:
+    cleaned = " ".join(_NAME_SEP_RE.sub(" ", _PAREN_GLOSS_RE.sub(" ", phrase)).split())
+    # A gloss-only surface ("(anonychia)") would otherwise vanish.
+    return cleaned or phrase
+
+
+# Presence/degree alternations name GROUPING terms in HPO (the public
+# "Aplasia/Hypoplasia of X" idiom): per-side variants of those surfaces
+# hijack mentions that belong to the specific sibling concepts
+# ("hypoplasia of the fibula" must not resolve to the A/H grouping term
+# when "Hypoplastic fibula" is its own concept) — measured -1.2 F1 on
+# val. Anatomical alternations ("Cleft lip/palate") have no such
+# sibling shadow and stay expanded.
+_SLASH_SKIP_SIDES = frozenset(
+    {
+        "aplasia", "hypoplasia", "aplastic", "hypoplastic", "agenesis",
+        "absent", "absence", "underdeveloped",
+    }
+)
+
+
+def _slash_variants(phrase: str, cap: int = 4) -> list[str]:
+    """Alternation expansion of '/' tokens: "Pectus excavatum/carinatum"
+    -> ["Pectus excavatum", "Pectus carinatum"]. Product capped; a token
+    with an empty side ("/foo") keeps the non-empty side only; grouping
+    idioms (_SLASH_SKIP_SIDES) are not expanded."""
+    toks = phrase.split()
+    variants = [[]]
+    for t in toks:
+        if "/" in t:
+            sides = [s for s in t.split("/") if s]
+            if any(s.lower() in _SLASH_SKIP_SIDES for s in sides):
+                return []
+            if not sides:
+                continue
+            variants = [v + [s] for v in variants for s in sides][:cap]
+        else:
+            variants = [v + [t] for v in variants]
+    out = [" ".join(v) for v in variants if v]
+    return out if len(out) > 1 else []
+
+
 def _ingest_pairs(
     pairs: list[tuple[str, str]],
     layer1: dict[str, set[str]],
@@ -547,7 +610,9 @@ def _ingest_pairs(
     phrase2hpo: dict[str, str] = {}
     simple2hpo: dict[str, str] = {}
     stem2hpo: dict[str, str] = {}
+    slash_pairs: list[tuple[str, str]] = []
     for phrase, hpo in pairs:
+        phrase = _clean_surface(phrase)
         if hpo not in names:
             names[hpo] = phrase.lower()
             surfaces[hpo] = []
@@ -559,6 +624,20 @@ def _ingest_pairs(
         if simple:
             simple2hpo[sorted_bag_key(simple)] = hpo
             stem2hpo[stem_key_of(simple)] = hpo
+        if "/" in phrase:
+            slash_pairs.extend((v, hpo) for v in _slash_variants(phrase))
+    # Alternation variants never overwrite an existing key (see
+    # _slash_variants note): applied after the full verbatim ingest so
+    # every concept's own surfaces take precedence.
+    for phrase, hpo in slash_pairs:
+        toks = process_str(phrase)
+        phrase2hpo.setdefault(sorted_bag_key(toks), hpo)
+        simple = simplify_tokens(toks)
+        if simple:
+            simple2hpo.setdefault(sorted_bag_key(simple), hpo)
+            stem2hpo.setdefault(stem_key_of(simple), hpo)
+        if phrase not in surfaces[hpo]:
+            surfaces[hpo].append(phrase)
     depth = {ROOT: 0}
     for l1, members in layer1.items():
         depth[l1] = 1

@@ -33,9 +33,9 @@ pytestmark = pytest.mark.skipif(
 # GSC+ 0.826/0.652/0.729, ID-68 0.935/0.719/0.813,
 # GeneReviews 0.925/0.782/0.847, val 0.878/0.766/0.818.
 FLOORS = {
-    "GSC+": {"micro_p": 0.81, "micro_r": 0.64, "micro_f1": 0.72},
-    "ID-68": {"micro_p": 0.925, "micro_r": 0.71, "micro_f1": 0.805},
-    "GeneReviews": {"micro_p": 0.92, "micro_r": 0.76, "micro_f1": 0.835},
+    "GSC+": {"micro_p": 0.82, "micro_r": 0.65, "micro_f1": 0.73},
+    "ID-68": {"micro_p": 0.93, "micro_r": 0.72, "micro_f1": 0.815},
+    "GeneReviews": {"micro_p": 0.91, "micro_r": 0.78, "micro_f1": 0.84},
     "val": {"micro_p": 0.87, "micro_r": 0.755, "micro_f1": 0.81},
 }
 

@@ -150,6 +150,48 @@ def main():
             fp_count[(h, mtn)] += 1
     for (h, mtn), n in fp_count.most_common(25):
         print(f"  {n:3d}x {h} [{onto.names.get(h, '?')}] <- {mtn!r}")
+
+    if "--dump" in sys.argv:
+        import json
+
+        path = sys.argv[sys.argv.index("--dump") + 1]
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "dataset": dataset,
+                    "metrics": {k: v for k, v in m.items()},
+                    "fns": [
+                        {
+                            "doc_id": d,
+                            "hpo_id": h,
+                            "mentions": gold_mentions.get((d, h))
+                            or next(
+                                (
+                                    ms
+                                    for (dd, hh), ms in gold_mentions.items()
+                                    if dd == d and onto.canonical(hh) == h
+                                ),
+                                [],
+                            ),
+                        }
+                        for d, h in fns
+                    ],
+                    "fps": [
+                        {
+                            "doc_id": d,
+                            "hpo_id": h,
+                            "mentions": sorted(fp_mentions.get((d, h), [])),
+                        }
+                        for d, h in fps
+                    ],
+                    "preds": sorted(map(list, pred_sets)),
+                    "pred_mentions": [
+                        [d, h, sorted(ms)] for (d, h), ms in fp_mentions.items()
+                    ],
+                },
+                f,
+            )
+        print(f"dumped -> {path}")
     spark.stop()
 
 
