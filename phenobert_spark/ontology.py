@@ -78,6 +78,19 @@ _SEED_PAIRS = [
     ("digital", "finger"), ("vertebral", "vertebra"),
     ("mandibular", "mandible"), ("maxillary", "maxilla"),
     ("neurinoma", "schwannoma"), ("neurinoma", "neuroma"),
+    # Generic head-noun equivalents (clinical prose names the same
+    # finding with interchangeable heads: "skin changes" ~ "skin
+    # abnormality"). Mined counts for these sit below the x10 trust
+    # threshold (3/2/2/1/1 co-variations) but the class itself is
+    # standard clinical-English usage; each pair still passes the
+    # ambiguous-variant filter before any dictionary row is emitted.
+    # ("abnormality","feature") and ("abnormality","finding") are
+    # excluded: "facial features" / "clinical findings" are routine
+    # benign prose, and the pair cost GeneReviews -0.7 F1 (precision
+    # 0.917 -> 0.895) when seeded.
+    ("abnormality", "change"), ("abnormality", "manifestation"),
+    ("abnormality", "defect"), ("difficulty", "problem"),
+    ("macule", "spot"), ("macule", "patch"),
 ]
 # Phrase-level seeds: HPO's own 2017 terminology migration renamed
 # "mental retardation" to "intellectual disability" across the ontology
