@@ -147,6 +147,41 @@ _IRREGULAR_PLURALS = {
     "testes": "testis", "diverticula": "diverticulum",
     "foramina": "foramen", "atria": "atrium", "crises": "crisis",
     "feet": "foot", "teeth": "tooth",
+    # Latin -us nouns whose plural ends in -uses: the default rule
+    # strips only the final 's' ("sinuses" -> "sinuse"), so singular
+    # and plural never meet in lemma space. A general -uses rule would
+    # break English e-stems ("causes" -> "caus"); the clinical set is
+    # small and closed, so it is pinned.
+    "sinuses": "sinus", "fetuses": "fetus", "foetuses": "fetus",
+    "viruses": "virus", "calluses": "callus", "plexuses": "plexus",
+    "meatuses": "meatus", "anuses": "anus",
+    # Latin -us -> -i plurals.
+    "nuclei": "nucleus", "villi": "villus", "alveoli": "alveolus",
+    "bronchi": "bronchus", "calculi": "calculus", "canthi": "canthus",
+    "glomeruli": "glomerulus", "thrombi": "thrombus",
+    "emboli": "embolus", "uteri": "uterus", "tophi": "tophus",
+    # Greek/Latin -x -> -ces/-ges plurals.
+    "halluces": "hallux", "thoraces": "thorax", "pharynges": "pharynx",
+    "larynges": "larynx", "appendices": "appendix", "varices": "varix",
+    "cervices": "cervix", "cortices": "cortex", "matrices": "matrix",
+    "apices": "apex", "helices": "helix", "calyces": "calyx",
+    "calices": "calyx",
+    # Greek -sis -> -ses plurals ("-oses" can also be English e-stem
+    # "noses", so table over rule).
+    "stenoses": "stenosis", "scolioses": "scoliosis",
+    "kyphoses": "kyphosis", "lordoses": "lordosis",
+    "fibroses": "fibrosis", "necroses": "necrosis",
+    "ptoses": "ptosis", "exostoses": "exostosis",
+    "synostoses": "synostosis", "anastomoses": "anastomosis",
+    "diagnoses": "diagnosis", "prognoses": "prognosis",
+    "diaphyses": "diaphysis", "epiphyses": "epiphysis",
+    "metaphyses": "metaphysis", "apophyses": "apophysis",
+    "paralyses": "paralysis",
+    # NOT folded: -um/-a plurals that are standalone clinical usage
+    # ("labia", "cilia", "milia" head their own terms) and BONE -i/-a
+    # plurals ("radii", "femora", "humeri"): folding those lets
+    # multi-bone clause candidates match per-bone grouping terms the
+    # gold assigns differently (measured val -0.3, 2 FP + 1 lost TP).
 }
 
 # British -> American orthography fold. The fold runs on BOTH sides

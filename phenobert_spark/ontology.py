@@ -331,14 +331,32 @@ class Ontology:
         return out
 
     def prune_vocab(self) -> "PruneVocab":
-        """Exact candidate-pruning predicate covering all three join
-        tiers: a k-mer can match some dictionary key only if every
-        token t has t∈V, lemma(t)∈V, or stem(t) in the stem-key token
-        set. Tokens failing all three are provable misses."""
+        """Exact candidate-pruning predicate covering all join tiers: a
+        k-mer can match some dictionary key only if every token t has
+        t∈V, lemma(t)∈V, or stem(t) in the stem-key token set. Tokens
+        failing all three are provable misses.
+
+        V must OVERAPPROXIMATE the probe space: the derived prio-3
+        tiers introduce tokens absent from any base key — combining-
+        prefix splits ("supraauricular" -> "supra auricular") and
+        substitution B-sides — and pruning a candidate k-mer that only
+        those rows could match silently disables the tier (found via
+        'supra-auricular sinuses': prose hyphens always split, so the
+        split-variant tier never fired on its own target mentions)."""
         stems: set[str] = set()
         for key in self.stem2hpo:
             stems.update(key.split())
-        return PruneVocab(self.vocab(), frozenset(stems))
+        base = set(self.vocab())
+        for t in list(base):
+            for p in COMBINING_PREFIXES:
+                if t.startswith(p) and len(t) - len(p) >= 4:
+                    base.add(p)
+                    base.add(t[len(p):])
+        # Threshold 10 is the default syn tier config; a wider-than-
+        # configured vocab only costs pruning efficiency, never recall.
+        for a, b in self.mined_substitutions(10) + SEED_SUBSTITUTIONS:
+            base.update(b)
+        return PruneVocab(frozenset(base), frozenset(stems))
 
     # -- Spark views ---------------------------------------------------------
 
