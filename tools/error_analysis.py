@@ -34,6 +34,7 @@ from phenobert_spark.evaluate import evaluate_sets  # noqa: E402
 from phenobert_spark.functions.normalize import (  # noqa: E402
     lemma,
     process_str,
+    simplify_tokens,
     sorted_bag_key,
     stem,
     stem_key_of,
@@ -51,12 +52,25 @@ def classify_fn(mentions: list[str], hpo_id: str, onto) -> str:
     rank = {"dict_exact": 0, "dict_lemma": 1, "dict_stem": 2, "morph": 3, "oov": 4}
     for m in mentions:
         toks = process_str(m)
+        simple = simplify_tokens(toks)
         key = sorted_bag_key(toks)
+        skey2 = sorted_bag_key(simple) if simple else None
         lkey = sorted_bag_key(sorted(lemma(t) for t in toks))
+        slkey = (
+            sorted_bag_key(sorted(lemma(t) for t in simple)) if simple else None
+        )
         skey = stem_key_of(toks)
-        if key in onto.phrase2hpo or key in onto.simple2hpo:
+        if any(
+            k in onto.phrase2hpo or k in onto.simple2hpo
+            for k in (key, skey2)
+            if k
+        ):
             cls = "dict_exact"
-        elif lkey in onto.phrase2hpo or lkey in onto.simple2hpo:
+        elif any(
+            k in onto.phrase2hpo or k in onto.simple2hpo
+            for k in (lkey, slkey)
+            if k
+        ):
             cls = "dict_lemma"
         elif skey in onto.stem2hpo:
             cls = "dict_stem"
