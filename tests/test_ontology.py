@@ -208,3 +208,71 @@ def test_drop_one_tiers(spark):
         F.col("score") == 0.8
     )
     assert got_def.count() == 0
+
+
+def test_clean_surface_and_slash_variants():
+    from phenobert_spark.ontology import _clean_surface, _slash_variants
+
+    # inversion commas, prefix colons, parenthetical glosses
+    assert _clean_surface("Hypotonia, severe") == "Hypotonia severe"
+    assert _clean_surface("EMG: chronic denervation signs") == (
+        "EMG chronic denervation signs"
+    )
+    assert _clean_surface("Absent toenails (anonychia)") == "Absent toenails"
+    # a gloss-only surface survives rather than vanishing
+    assert _clean_surface("(anonychia)") == "(anonychia)"
+    # slash alternation expands per side
+    assert _slash_variants("Cleft lip/palate") == ["Cleft lip", "Cleft palate"]
+    assert _slash_variants("Pectus excavatum/carinatum") == [
+        "Pectus excavatum",
+        "Pectus carinatum",
+    ]
+    # grouping idioms (Aplasia/Hypoplasia family) are NOT expanded
+    assert _slash_variants("Aplasia/Hypoplasia of the fibula") == []
+    assert _slash_variants("Absent/small skeletal muscles") == []
+    # no slash -> no variants
+    assert _slash_variants("Cleft palate") == []
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")),
+    reason="reference checkout not present",
+)
+def test_comma_inverted_names_keyed():
+    onto = load_reference_ontology()
+    # "Hypotonia, severe" (train.txt) must be reachable from prose
+    # "severe hypotonia" via the sorted-bag key
+    assert onto.phrase2hpo.get("hypotonia severe") == "HP:0006829"
+    # slash variants never overwrite a concept's own name key
+    assert onto.phrase2hpo.get("cleft palate") == "HP:0000175"
+    assert "cleft lip palate" not in onto.phrase2hpo
+
+
+def test_latin_plural_lemmas():
+    from phenobert_spark.functions.normalize import lemma
+
+    assert lemma("sinuses") == "sinus"
+    assert lemma("bronchi") == "bronchus"
+    assert lemma("cortices") == "cortex"
+    assert lemma("stenoses") == "stenosis"
+    assert lemma("epiphyses") == "epiphysis"
+    # English e-stems keep the regular rule
+    assert lemma("causes") == "cause"
+    assert lemma("noses") == "nose"
+    # bone plurals deliberately unfolded (multi-bone clause over-match)
+    assert lemma("radii") == "radii"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")),
+    reason="reference checkout not present",
+)
+def test_prune_vocab_covers_derived_tiers():
+    onto = load_reference_ontology()
+    pv = onto.prune_vocab()
+    # combining-prefix split tokens must survive pruning or the prio-3
+    # split-variant rows are unreachable ("supra-auricular sinuses")
+    assert "supra" in pv
+    assert "auricular" in pv
+    # substitution B-side tokens likewise
+    assert "patch" in pv
