@@ -18,6 +18,10 @@ Two entry points:
 * ``windowed_event_rollup`` — watermarked tumbling-window aggregation
   (the streaming form of contract query q24): late rows beyond the
   watermark are dropped and per-window state is bounded.
+* ``sessionize_stream`` — custom stateful operator
+  (``applyInPandasWithState``, GroupState per user + event-time
+  timeout): gap-based sessionization, the streaming twin of batch
+  contract query q34.
 
 On a cluster the source/sink would be Iceberg tables (incremental scan
 + append); file parquet streams are the sandbox stand-in with identical
@@ -101,6 +105,104 @@ def windowed_event_rollup(
             "n",
             "sum_value",
         )
+    )
+
+
+SESSIONS_SCHEMA = "user_id bigint, session_id bigint, n_events bigint, duration_s bigint"
+_SESS_STATE_SCHEMA = "last_t bigint, start_t bigint, sess_id bigint, n bigint"
+
+
+def sessionize_stream(
+    events: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization over a
+    streaming events DataFrame (ts, user_id) via
+    ``applyInPandasWithState`` — the streaming twin of batch contract
+    query q34 (lag -> boundary -> running-sum), with identical output
+    rows for in-order data.
+
+    Semantics per user (GroupState):
+
+    * events within ``gap_s`` of the previous one extend the open
+      session; a larger gap closes it and emits
+      ``(user_id, session_id, n_events, duration_s)`` (append mode);
+    * the trailing open session is flushed by an EVENT-TIME timeout
+      once the watermark passes ``last_t + gap_s`` — emission needs no
+      terminal sentinel, just stream progress;
+    * after a flush the state row stays as an idle marker carrying the
+      session counter, so a user who returns later continues numbering
+      exactly like the batch running-sum. State is therefore one small
+      row per DISTINCT user — the same bound as any per-key session
+      store — not per event.
+
+    Late events beyond ``watermark`` are dropped by the engine before
+    reaching the state function (the batch twin, which sees all data,
+    has no such cutoff — the usual streaming/batch contract).
+    """
+    ev = (
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+    )
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        cols = ["user_id", "session_id", "n_events", "duration_s"]
+        if state.hasTimedOut:
+            last_t, start_t, sess_id, n = state.get
+            # idle marker: keep the counter, emit the open session
+            state.update((-1, -1, sess_id, 0))
+            if n > 0:
+                yield pd.DataFrame(
+                    [(user_id, sess_id, n, last_t - start_t)], columns=cols
+                )
+            return
+        ts: list[int] = sorted(
+            t
+            for pdf in pdf_iter
+            for t in (pdf["ts"].astype("int64") // 10**9).tolist()
+        )
+        if state.exists:
+            last_t, start_t, sess_id, n = state.get
+            if last_t < 0:  # idle marker
+                last_t = start_t = None
+        else:
+            last_t = start_t = None
+            sess_id = 0
+            n = 0
+        out = []
+        for t in ts:
+            if last_t is None:
+                sess_id += 1
+                start_t = t
+                n = 1
+            elif t - last_t > gap_s:
+                out.append((user_id, sess_id, n, last_t - start_t))
+                sess_id += 1
+                start_t = t
+                n = 1
+            else:
+                n += 1
+            last_t = t
+        if last_t is not None:
+            state.update((last_t, start_t, sess_id, n))
+            # flush the open session once the watermark passes the gap;
+            # the timestamp must sit strictly beyond the current
+            # watermark or the engine rejects it
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last_t + gap_s) * 1000, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSIONS_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -158,3 +158,94 @@ def test_replayed_batch_overwrites_not_appends(spark, onto, tmp_path):
         .collect()
     )
     assert replayed == first  # no duplicate rows from the replay
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful gap sessionization (applyInPandasWithState) emits the
+    SAME rows as the batch lag/running-sum twin (q34 logic): sessions
+    closed by an in-stream gap, sessions split across micro-batches,
+    and trailing sessions flushed by the event-time timeout."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from phenobert_spark.streaming.incremental import (
+        run_stream_to_completion,
+        sessionize_stream,
+    )
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec)
+
+    # user 1: [0,600,1200] | gap | [5000,5600]; user 2: [100] | [9000];
+    # user 3 spans the wave boundary: [2900] + [3100] = ONE session
+    rows = [
+        (1, t(0)), (1, t(600)), (1, t(1200)), (1, t(5000)), (1, t(5600)),
+        (2, t(100)), (2, t(9000)),
+        (3, t(2900)), (3, t(3100)),
+    ]
+    wave1 = [r for r in rows if r[1] < t(3000)]
+    wave2 = [r for r in rows if r[1] >= t(3000)]
+    # far-future sentinel user advances the watermark past every real
+    # last_t + gap so trailing sessions flush; its own rows are dropped
+    # from the comparison
+    sentinel = [(99, t(100_000)), (99, t(100_001))]
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp"
+
+    def run_wave(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = sessionize_stream(stream, gap_s=1800, watermark="1 second")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    for batch_rows in (wave1, wave2, sentinel):
+        run_wave(batch_rows)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != 99
+    }
+
+    # batch twin (q34 logic) over the real events
+    ev = spark.createDataFrame(rows, schema).select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    want = {
+        tuple(r)
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+        )
+        .collect()
+    }
+    assert got == want
