@@ -235,7 +235,7 @@ def _clean_surfaces(ontology, hpo: str) -> list[str]:
     bad = {"and", "or", "/"} | NEGATIVE_WORDS
     out = [
         s
-        for s in ontology.surfaces[hpo]
+        for s in ontology.all_surfaces(hpo)
         if not bad & set(s.lower().split())
     ]
     return out

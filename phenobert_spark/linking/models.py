@@ -121,7 +121,7 @@ class ConceptIndex:
         for cid in concept_ids:
             ss, ts = [], []
             vecs = []
-            for s in onto.surfaces[cid]:
+            for s in onto.all_surfaces(cid):
                 toks = simplify_tokens(process_str(s)) or process_str(s)
                 if not toks:
                     continue

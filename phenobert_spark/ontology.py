@@ -184,12 +184,22 @@ class Ontology:
     parents: dict[str, list[str]]
     # BFS depth from ROOT (root=0)
     depth: dict[str, int]
+    # hpo_id -> DERIVED surface forms (slash-alternation variants).
+    # Kept apart from ``surfaces`` so generated data never feeds
+    # mined_substitutions() — a derived variant pair of the same concept
+    # must not count toward the x-N co-variation trust threshold.
+    variant_surfaces: dict[str, list[str]] = field(default_factory=dict)
     _anc: dict[str, set[str]] | None = field(default=None, init=False, repr=False)
 
     @property
     def abnormal_set(self) -> set[str]:
         """Concepts under HP:0000118, root excluded (phenotypic_abnormalityNT)."""
         return set(self.names)
+
+    def all_surfaces(self, hpo_id: str) -> list[str]:
+        """Verbatim + derived surface forms (dictionary/model consumers
+        want both; the substitution miner wants ``surfaces`` only)."""
+        return self.surfaces.get(hpo_id, []) + self.variant_surfaces.get(hpo_id, [])
 
     # -- derived structures -------------------------------------------------
 
@@ -330,7 +340,11 @@ class Ontology:
         cached[max_df] = out
         return out
 
-    def prune_vocab(self) -> "PruneVocab":
+    def prune_vocab(
+        self,
+        syn_min_count: int | None = None,
+        syn_phrase_min_count: int | None = None,
+    ) -> "PruneVocab":
         """Exact candidate-pruning predicate covering all join tiers: a
         k-mer can match some dictionary key only if every token t has
         t∈V, lemma(t)∈V, or stem(t) in the stem-key token set. Tokens
@@ -352,9 +366,19 @@ class Ontology:
                 if t.startswith(p) and len(t) - len(p) >= 4:
                     base.add(p)
                     base.add(t[len(p):])
-        # Threshold 10 is the default syn tier config; a wider-than-
-        # configured vocab only costs pruning efficiency, never recall.
-        for a, b in self.mined_substitutions(10) + SEED_SUBSTITUTIONS:
+        # V must cover every configured substitution tier: union the
+        # default-threshold set (cheap, always a superset candidate)
+        # with the CONFIGURED set — a lower threshold or enabled phrase
+        # pairs add dictionary keys whose B-side tokens would otherwise
+        # be pruned away, silently disabling those rows. A wider-than-
+        # needed vocab only costs pruning efficiency, never recall.
+        subs = list(self.mined_substitutions(10))
+        if syn_min_count is not None or syn_phrase_min_count is not None:
+            subs += self.mined_substitutions(
+                10 if syn_min_count is None else syn_min_count,
+                syn_phrase_min_count,
+            )
+        for a, b in subs + SEED_SUBSTITUTIONS:
             base.update(b)
         return PruneVocab(frozenset(base), frozenset(stems))
 
@@ -551,7 +575,7 @@ class Ontology:
             (
                 h,
                 self.names[h],
-                self.surfaces[h],
+                self.all_surfaces(h),
                 sorted(alt_by_canon.get(h, [])),
                 self.parents.get(h, []),
             )
@@ -660,6 +684,7 @@ def _ingest_pairs(
     # Alternation variants never overwrite an existing key (see
     # _slash_variants note): applied after the full verbatim ingest so
     # every concept's own surfaces take precedence.
+    variant_surfaces: dict[str, list[str]] = {}
     for phrase, hpo in slash_pairs:
         toks = process_str(phrase)
         phrase2hpo.setdefault(sorted_bag_key(toks), hpo)
@@ -667,8 +692,10 @@ def _ingest_pairs(
         if simple:
             simple2hpo.setdefault(sorted_bag_key(simple), hpo)
             stem2hpo.setdefault(stem_key_of(simple), hpo)
-        if phrase not in surfaces[hpo]:
-            surfaces[hpo].append(phrase)
+        if phrase not in surfaces[hpo] and phrase not in variant_surfaces.get(
+            hpo, []
+        ):
+            variant_surfaces.setdefault(hpo, []).append(phrase)
     depth = {ROOT: 0}
     for l1, members in layer1.items():
         depth[l1] = 1
@@ -686,6 +713,7 @@ def _ingest_pairs(
         layer1=layer1,
         parents=parents,
         depth=depth,
+        variant_surfaces=variant_surfaces,
     )
 
 

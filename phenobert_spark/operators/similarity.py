@@ -89,6 +89,62 @@ def cosine_topk_pandas(
     )
 
 
+def _centroid_buckets(
+    spark: SparkSession,
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    out_id: str,
+    out_emb: str,
+) -> DataFrame:
+    """NARROW coarse-quantizer stage shared by assignment (nprobe=1)
+    and query probe selection (nprobe>=1): one BLAS matmul per Arrow
+    batch against the BROADCAST centroid matrix, then a stable per-row
+    top-nprobe (ties break to the lowest centroid id). Zero Exchange
+    nodes — the old crossJoin(broadcast)+Window form shuffled the full
+    n x n_centroids scored product (4e12 rows at 1e9 vectors x 4096
+    centroids); this emits nprobe rows per input row with no shuffle at
+    all (tests/test_plans.py pins the plan)."""
+    cent_rows = centroids.select("vec_id", "embedding").collect()
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    order = np.argsort(cids, kind="stable")
+    cids, cmat, cnorm = cids[order], cmat[order], cnorm[order]
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+    out_schema = StructType(
+        [
+            StructField(out_id, LongType(), False),
+            StructField(out_emb, df.schema["embedding"].dataType, False),
+            StructField("cid", LongType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (cand @ mat.T) / (
+                np.linalg.norm(cand, axis=1)[:, None] * norms[None, :]
+            )
+            # stable argsort on (-sim, cid): cid order is the array
+            # order (sorted above), so kind="stable" keeps the lowest
+            # cid first among ties — same tie-break as the old window
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n, p = top.shape
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf["vec_id"].to_numpy(np.int64), p),
+                    out_emb: np.repeat(pdf["embedding"].to_numpy(), p),
+                    "cid": ids[top].reshape(-1),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(assign, out_schema)
+
+
 def ivf_topk(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -99,11 +155,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: assign vectors to their nearest centroid (coarse
     quantizer = first n_centroids vectors, deterministic), then search
-    only the nprobe closest buckets per query. One shuffle on the
-    bucket id instead of a full cross-join."""
-    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
+    only the nprobe closest buckets per query. The coarse stages are
+    NARROW (broadcast centroid matmul + per-row argmax, no exchange);
+    the single shuffle in the whole plan is the bucket equi-join."""
 
     def dot(a, b):
         return F.aggregate(
@@ -115,31 +169,11 @@ def ivf_topk(
     def cos(a, b):
         return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
-    # coarse assignment (broadcast centroids)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c").desc(), F.col("cid").asc()
+    cent = embeddings.filter(F.col("vec_id") < n_centroids)
+    assigned = _centroid_buckets(
+        spark, embeddings, cent, 1, "vec_id", "embedding"
     )
-    assigned = (
-        embeddings.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cos("embedding", "ce").alias("c"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
-    # probe buckets per query
-    w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qe"),
-            "cid",
-            cos("embedding", "ce").alias("c"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "qe", "cid")
-    )
+    probes = _centroid_buckets(spark, queries, cent, nprobe, "qid", "qe")
     # bucket-local scoring: equi-join on cid (the one shuffle)
     w_top = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (

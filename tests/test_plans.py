@@ -47,3 +47,22 @@ def test_parquet_column_pruning(spark):
     assert "l_returnflag" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
     assert "l_orderkey" not in read_schema
+
+
+def test_ivf_assignment_plan_is_narrow(spark):
+    """The IVF coarse-quantizer stages must not shuffle: assignment is
+    a broadcast-matmul argmax inside mapInPandas (the old
+    crossJoin+Window form exchanged the full n x n_centroids scored
+    product — a 4e12-row shuffle at 1e9 vectors x 4096 centroids)."""
+    from phenobert_spark.operators.similarity import _centroid_buckets
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.filter(F.col("vec_id") < 8)
+    assigned = _centroid_buckets(spark, e, cent, 1, "vec_id", "embedding")
+    plan = _formatted_plan(spark, assigned)
+    assert "Exchange" not in plan, plan
+    probes = _centroid_buckets(
+        spark, e.filter(F.col("vec_id") < 5), cent, 2, "qid", "qe"
+    )
+    plan = _formatted_plan(spark, probes)
+    assert "Exchange" not in plan, plan

@@ -249,3 +249,71 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_stream_idle_ttl_evicts_and_renumbers(spark, tmp_path):
+    """idle_ttl_s bounds the state horizon: a flushed user's idle
+    marker is EVICTED once the watermark passes last_t + gap + ttl, so
+    a user returning after eviction restarts session numbering at 1 —
+    while a user returning while the marker is alive continues
+    numbering exactly like the batch running-sum."""
+    import collections
+    import datetime as dt
+
+    from phenobert_spark.streaming.incremental import (
+        run_stream_to_completion,
+        sessionize_stream,
+    )
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec)
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp"
+
+    def run_wave(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = sessionize_stream(
+            stream, gap_s=1800, watermark="1 second", idle_ttl_s=3600
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    # u1: sess 1 (t=0), sess 2 (t=5000) -> both flushed, marker evicted
+    #     by wave 3's watermark, returns at t=50000 -> renumbered sess 1
+    # u2: sess 1 (t=4000) flushed; returns at t=21000 while its marker
+    #     is still alive -> numbering CONTINUES (sess 2)
+    run_wave([(1, t(0)), (1, t(5000)), (2, t(4000))])
+    run_wave([(97, t(20_000))])  # flush u1/u2 open sessions
+    run_wave([(2, t(21_000)), (96, t(40_000))])  # u1 marker evicts here
+    run_wave([(1, t(50_000)), (95, t(100_000))])  # u1 returns, post-TTL
+
+    got = collections.Counter(
+        (r.user_id, r.session_id, r.n_events, r.duration_s)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id in (1, 2)
+    )
+    want = collections.Counter(
+        [
+            (1, 1, 1, 0),  # first session
+            (1, 2, 1, 0),  # gap-split continuation
+            (1, 1, 1, 0),  # RETURN AFTER EVICTION: numbering restarted
+            (2, 1, 1, 0),
+            (2, 2, 1, 0),  # return within TTL: numbering continued
+        ]
+    )
+    assert got == want, got
