@@ -62,6 +62,19 @@ class PipelineConfig:
     # weight of L1-parent centroids (util.py:540-575 semantics on the
     # rebuilt 2-level DAG); 0 disables. Calibrated on val.
     model_gcn_lambda: float = 0.4
+    # M4 scorer: "align" = min-coverage bidirectional alignment
+    # (pair_score), "fuzzy_idf" = IDF-weighted coverage with stem and
+    # mined-substitution bridges (pair_score_idf — the recall scorer
+    # validated offline in tools/model_lab.py). Thresholds live in a
+    # different space per scorer; calibrated on val.
+    model_scorer: str = "align"
+    # co-variation floor for the scorer's substitution bridges
+    # (ConceptIndex.build subs_min_count; dictionary tier stays at
+    # syn_tier_min_count's x10) — calibrated on val
+    model_subs_min_count: int = 3
+    # fuzzy_idf acceptance: best concept score must beat the runner-up
+    # by at least this margin (0 = accept ties; calibrated on val)
+    model_margin: float = 0.0
     # F7 substitute gate: a clause contributes candidates only if it
     # holds a dictionary token appearing in <= gate_max_df concepts
     # (Ontology.head_vocab); None disables. Calibrated on val.

@@ -23,9 +23,27 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..ontology import Ontology
-from .models import ConceptIndex, HashedEncoder, pair_score
+from .models import ConceptIndex, HashedEncoder, pair_score, pair_score_idf
 
 _WORKER_ENCODER: HashedEncoder | None = None
+
+# driver-side ConceptIndex cache: the index depends only on the
+# ontology object and the smoothing weight, and costs ~15s to build —
+# repeated annotate() calls in one session must not pay it twice.
+_INDEX_CACHE: dict[tuple[int, float, int], ConceptIndex] = {}
+
+
+def cached_index(
+    onto: Ontology, gcn_lambda: float, subs_min_count: int = 3
+) -> ConceptIndex:
+    key = (id(onto), gcn_lambda, subs_min_count)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = ConceptIndex.build(
+            onto, gcn_lambda=gcn_lambda, subs_min_count=subs_min_count
+        )
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 def _encoder(dim: int) -> HashedEncoder:
@@ -45,10 +63,14 @@ def model_link(
     """survivors: candidate rows that missed the dictionary and are not
     contained in a matched span. Returns rows with (hpo_id, score)
     columns appended, only for accepted candidates."""
-    index = index or ConceptIndex.build(onto, gcn_lambda=cfg.model_gcn_lambda)
+    index = index or cached_index(
+        onto, cfg.model_gcn_lambda, cfg.model_subs_min_count
+    )
     bc = spark.sparkContext.broadcast(index)
     p1, p2, p3 = cfg.model_p1, cfg.model_p2, cfg.model_p3
     topk = cfg.model_topk
+    fuzzy = cfg.model_scorer == "fuzzy_idf"
+    margin = cfg.model_margin
 
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
@@ -90,13 +112,22 @@ def model_link(
                 cand_idx = cand_idx[cos[r, cand_idx] >= p2]
                 if cand_idx.size == 0:
                     continue
-                best_hpo, best_score = None, 0.0
+                best_hpo, best_score, second = None, 0.0, 0.0
                 for ci in cand_idx:
                     cid = idx.concept_ids[ci]
-                    s = pair_score(enc, phrases[r], vecs[r], cid, idx)
+                    if fuzzy:
+                        s = pair_score_idf(enc, phrases[r], cid, idx)
+                    else:
+                        s = pair_score(enc, phrases[r], vecs[r], cid, idx)
                     if s > best_score:
-                        best_hpo, best_score = cid, s
-                if best_hpo is not None and best_score >= p3:
+                        best_hpo, best_score, second = cid, s, best_score
+                    elif s > second:
+                        second = s
+                if (
+                    best_hpo is not None
+                    and best_score >= p3
+                    and best_score - second >= margin
+                ):
                     keep_rows.append(r)
                     hpo_out.append(best_hpo)
                     score_out.append(round(float(best_score), 4))

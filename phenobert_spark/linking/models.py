@@ -98,10 +98,20 @@ class ConceptIndex:
     concept_l1: np.ndarray                 # (n_concepts, n_l1) bool membership
     surfaces: dict[str, list[str]]         # concept -> simple surface strings
     surface_token_sets: dict[str, list[frozenset]]
+    # IDF over the surface corpus (lemma space) + mined substitution
+    # bridges — the weighting the fuzzy_idf scorer (pair_score_idf)
+    # uses; fit from the SHIPPED surfaces only (train.txt data).
+    token_idf: dict[str, float] = None     # lemma -> idf
+    max_idf: float = 0.0
+    subs: frozenset = frozenset()          # (lemma_a, lemma_b) bridges
 
     @classmethod
     def build(
-        cls, onto: Ontology, dim: int = 512, gcn_lambda: float = 0.0
+        cls,
+        onto: Ontology,
+        dim: int = 512,
+        gcn_lambda: float = 0.0,
+        subs_min_count: int = 3,
     ) -> "ConceptIndex":
         """``gcn_lambda``: ancestor-smoothing mix — the analog of the
         reference GCN's ancestor-weight propagation (util.py:540-575:
@@ -175,6 +185,34 @@ class ConceptIndex:
         unrouted = ~concept_l1.any(axis=1)
         if unrouted.any() and l1_ids:
             concept_l1[unrouted, :] = True
+        # IDF in lemma space over all surfaces + substitution bridges
+        import math
+        from collections import defaultdict
+
+        df_counts: dict[str, int] = defaultdict(int)
+        n_surf = 0
+        for cid in concept_ids:
+            for ts in token_sets[cid]:
+                if not ts:
+                    continue
+                n_surf += 1
+                for t in {lemma(t) for t in ts}:
+                    df_counts[t] += 1
+        token_idf = {
+            t: math.log((1 + n_surf) / (1 + c)) for t, c in df_counts.items()
+        }
+        max_idf = math.log(1.0 + n_surf)
+        # Scorer bridges use a LOWER co-variation threshold than the
+        # dictionary tier (x3 vs x10): a bridge only softens token
+        # similarity inside the fuzzy re-ranker (which still demands
+        # full-phrase coverage + its acceptance threshold), so the
+        # precision cost of a rare pair is far smaller than minting a
+        # dictionary key from it. x3 recovers real medical synonymy
+        # the x10 tier misses ("eye"~"eyeball", "eye"~"ocular").
+        subs = set()
+        for a, b in onto.mined_substitutions(subs_min_count):
+            if len(a) == 1 and len(b) == 1:
+                subs.add((next(iter(a)), next(iter(b))))
         return cls(
             dim=dim,
             concept_ids=concept_ids,
@@ -184,6 +222,9 @@ class ConceptIndex:
             concept_l1=concept_l1,
             surfaces=simple_surfaces,
             surface_token_sets=token_sets,
+            token_idf=token_idf,
+            max_idf=max_idf,
+            subs=frozenset(subs),
         )
 
 
@@ -214,7 +255,11 @@ _ALIGN_CACHE: dict[int, dict[str, tuple]] = {}
 
 def _surface_align_data(
     enc: HashedEncoder, concept_id: str, index: ConceptIndex
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[tuple[int, int]]]:
+) -> tuple:
+    """(tokens, lemmas, vec matrix, surface bounds, stems, idf) for a
+    concept's surface tokens, cached per worker."""
+    from ..functions.normalize import stem
+
     cache = _ALIGN_CACHE.setdefault(id(index), {})
     hit = cache.get(concept_id)
     if hit is not None:
@@ -231,11 +276,15 @@ def _surface_align_data(
         mat = np.vstack([enc._token_vec(t) for t in toks])
     else:
         mat = np.zeros((0, enc.dim), dtype=np.float32)
+    lems = [lemma(t) for t in toks]
+    idf_map = index.token_idf or {}
     data = (
         np.array(toks, dtype=object),
-        np.array([lemma(t) for t in toks], dtype=object),
+        np.array(lems, dtype=object),
         mat,
         bounds,
+        np.array([stem(t) for t in lems], dtype=object),
+        np.array([idf_map.get(t, index.max_idf) for t in lems], dtype=np.float64),
     )
     cache[concept_id] = data
     return data
@@ -263,7 +312,7 @@ def pair_score(
     ptoks = phrase.split()
     if not ptoks:
         return 0.0
-    tokarr, lemarr, mat, bounds = _surface_align_data(enc, concept_id, index)
+    tokarr, lemarr, mat, bounds, _, _ = _surface_align_data(enc, concept_id, index)
     if not bounds:
         return 0.0
     pvec = np.vstack([enc._token_vec(t) for t in ptoks])  # (m, dim)
@@ -279,6 +328,140 @@ def pair_score(
         if cover_s <= best:
             continue
         cover_p = float(sub.max(axis=0).min())  # phrase tokens witnessed
+        score = min(cover_s, cover_p)
+        if score > best:
+            best = score
+    return best
+
+
+# Abnormality/direction-bearing tokens (lemma space): the semantic
+# pivot of a phenotype surface. A surface whose ONLY abnormality token
+# goes unmatched must not be accepted on anatomy alone — "mitral
+# valve" is not "abnormality of the mitral valve", "head
+# circumference" is not "reduced head circumference". Standard
+# clinical-modifier vocabulary (public knowledge) + the high-frequency
+# modifier tokens of the shipped surface corpus.
+ABNORMALITY_TOKENS = frozenset(
+    """abnormality abnormal abnormally anomaly anomalous defect deformity
+    malformation malformed dysplasia dysplastic dystrophy aplasia agenesis
+    aplastic hypoplasia hypoplastic hyperplasia hyperplastic atrophy
+    hypertrophy absence absent missing loss lack increased increase
+    decreased decrease reduced reduction elevated elevation impaired
+    impairment deficiency deficient degeneration degenerated enlarged
+    enlargement dilated dilatation dilation small large big long short
+    narrow wide broad thin thick high low prominent flat fusion fused
+    delayed delay premature progressive recurrent excessive accessory
+    extra duplicated duplication cleft stenosis obstruction overgrowth
+    underdeveloped undergrowth shortened lengthened curved bowed bowing
+    hyper hypo""".split()
+)
+
+# Mutually-exclusive qualifier pairs: a phrase naming one side must not
+# fuzzy-match a surface naming the other ("narrow INTERNAL auditory
+# meatus" is not "stenosis of the EXTERNAL auditory canal"). Checked
+# only when the clashing tokens are themselves unmatched.
+CONTRAST_PAIRS: tuple[tuple[frozenset, frozenset], ...] = tuple(
+    (frozenset(a.split("|")), frozenset(b.split("|")))
+    for a, b in [
+        ("internal", "external"),
+        ("upper|superior", "lower|inferior"),
+        ("proximal", "distal"),
+        ("anterior", "posterior"),
+        ("left", "right"),
+        ("increased|increase|elevated|high|hyper", "decreased|decrease|reduced|low|hypo"),
+        ("large|enlarged|broad|wide|macro", "small|narrow|micro"),
+        ("early", "late"),
+        ("congenital|prenatal", "postnatal|acquired"),
+    ]
+)
+
+
+def pair_score_idf(
+    enc: HashedEncoder,
+    phrase: str,
+    concept_id: str,
+    index: ConceptIndex,
+) -> float:
+    """IDF-weighted fuzzy alignment (the validated recall scorer from
+    tools/model_lab.py): like :func:`pair_score` but each side's
+    coverage is an IDF-WEIGHTED mean instead of a min — an unmatched
+    low-information modifier ("abnormally", "mild") costs little while
+    an unmatched head token costs a lot. Token equality extends to
+    stem equality and the mined substitution bridges (index.subs).
+
+    Offline on the val FN dump this ranks the gold concept first for
+    50/102 misses (vs ~0 recovered by the min-coverage form); the
+    acceptance threshold/margin are calibrated end-to-end on val
+    (cfg.model_p3 / cfg.model_margin)."""
+    from ..functions.normalize import stem
+
+    ptoks = phrase.split()
+    if not ptoks:
+        return 0.0
+    tokarr, lemarr, mat, bounds, stemarr, idfarr = _surface_align_data(
+        enc, concept_id, index
+    )
+    if not bounds:
+        return 0.0
+    plem = [lemma(t) for t in ptoks]
+    pvec = np.vstack([enc._token_vec(t) for t in plem])  # (m, dim)
+    sims = np.clip(mat @ pvec.T, 0.0, 1.0)  # (n_tok, m)
+    pstem = np.array([stem(t) for t in plem], dtype=object)
+    parr = np.array(plem, dtype=object)
+    eq = (lemarr[:, None] == parr[None, :]) | (
+        stemarr[:, None] == pstem[None, :]
+    )
+    subs = index.subs
+    if subs:
+        for j, pt in enumerate(plem):
+            bridged = [
+                i
+                for i, st in enumerate(lemarr)
+                if (st, pt) in subs or (pt, st) in subs
+            ]
+            if bridged:
+                eq[bridged, j] = True
+    np.copyto(sims, 1.0, where=eq)
+    idf_map = index.token_idf or {}
+    p_idf = np.array(
+        [idf_map.get(t, index.max_idf) for t in plem], dtype=np.float64
+    )
+    p_w = p_idf.sum() or 1.0
+    phrase_has_abn = any(t in ABNORMALITY_TOKENS for t in plem)
+    single = len(plem) == 1
+    abn_mask = np.array([t in ABNORMALITY_TOKENS for t in lemarr], dtype=bool)
+    pset = set(plem)
+    best = 0.0
+    for a, b in bounds:
+        sub = sims[a:b]
+        # contrast gate: phrase says one side, surface says the other
+        stoks = set(lemarr[a:b])
+        clash = False
+        for ca, cb in CONTRAST_PAIRS:
+            if (pset & ca and stoks & cb and not (pset & cb) and not (stoks & ca)) or (
+                pset & cb and stoks & ca and not (pset & ca) and not (stoks & cb)
+            ):
+                clash = True
+                break
+        if clash:
+            continue
+        # single-token phrases must match a surface token EXACTLY
+        # (lemma/stem/substitution) — char-ngram look-alikes are not
+        # evidence ("hydroxyproline" is not "hydroxyprolinemia")
+        if single and not bool(eq[a:b].any()):
+            continue
+        # pivot gate: if the surface carries abnormality tokens and
+        # NONE of them is witnessed (>= 0.8), the phrase must bring its
+        # own abnormality token — anatomy alone never names a phenotype
+        am = abn_mask[a:b]
+        if am.any() and not phrase_has_abn:
+            if float(sub[am].max(axis=1).max()) < 0.8:
+                continue
+        w = idfarr[a:b]
+        cover_s = float((sub.max(axis=1) * w).sum() / (w.sum() or 1.0))
+        if cover_s <= best:
+            continue
+        cover_p = float((sub.max(axis=0) * p_idf).sum() / p_w)
         score = min(cover_s, cover_p)
         if score > best:
             best = score

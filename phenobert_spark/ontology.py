@@ -345,7 +345,7 @@ class Ontology:
         syn_min_count: int | None = None,
         syn_phrase_min_count: int | None = None,
     ) -> "PruneVocab":
-        """Exact candidate-pruning predicate covering all join tiers: a
+        """(cached per threshold pair) Exact candidate-pruning predicate covering all join tiers: a
         k-mer can match some dictionary key only if every token t has
         t∈V, lemma(t)∈V, or stem(t) in the stem-key token set. Tokens
         failing all three are provable misses.
@@ -357,6 +357,10 @@ class Ontology:
         those rows could match silently disables the tier (found via
         'supra-auricular sinuses': prose hyphens always split, so the
         split-variant tier never fired on its own target mentions)."""
+        cached = self.__dict__.setdefault("_prune_cache", {})
+        ck = (syn_min_count, syn_phrase_min_count)
+        if ck in cached:
+            return cached[ck]
         stems: set[str] = set()
         for key in self.stem2hpo:
             stems.update(key.split())
@@ -380,7 +384,9 @@ class Ontology:
             )
         for a, b in subs + SEED_SUBSTITUTIONS:
             base.update(b)
-        return PruneVocab(frozenset(base), frozenset(stems))
+        pv = PruneVocab(frozenset(base), frozenset(stems))
+        cached[ck] = pv
+        return pv
 
     # -- Spark views ---------------------------------------------------------
 

@@ -100,6 +100,37 @@ def suppress_contained_in(
     )
 
 
+def suppress_containing(
+    probe: DataFrame, anchors: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Reverse of :func:`suppress_contained_in`: remove probe spans
+    that CONTAIN any anchor span of the same document. Used to keep
+    model-stage candidates from swallowing an exact dictionary match —
+    under use_longest overlap resolution a longer fuzzy guess would
+    otherwise displace the shorter exact match it contains (measured
+    -0.3 F1 on ID-68 before this guard).
+
+    Same union + window trick (no join): one pass ordered by start,
+    a range frame over rows starting at or after the probe, and the
+    MIN anchor end in that frame decides containment."""
+    keys = keys or ["doc_id"]
+    p = probe.withColumn("_anchor", F.lit(0))
+    a = anchors.select(*keys, "start", "end").withColumn("_anchor", F.lit(1))
+    both = p.unionByName(a, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("start").asc())
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    anchor_end = F.when(F.col("_anchor") == 1, F.col("end"))
+    both = both.withColumn("_fme", F.min(anchor_end).over(w))
+    return (
+        both.filter(F.col("_anchor") == 0)
+        .filter(F.col("_fme").isNull() | (F.col("_fme") > F.col("end")))
+        .drop("_anchor", "_fme")
+    )
+
+
 def maximal_spans_bruteforce(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Quadratic NOT-EXISTS reference implementation (oracle for tests;
     never on the hot path)."""

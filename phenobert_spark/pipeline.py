@@ -25,7 +25,11 @@ from .corpus import chunked, with_doc_id
 from .ontology import Ontology
 from .operators.candidates import generate_candidates
 from .operators.dict_link import dictionary_link
-from .operators.spans import keep_maximal_spans, suppress_contained_in
+from .operators.spans import (
+    keep_maximal_spans,
+    suppress_contained_in,
+    suppress_containing,
+)
 
 TRIPLES_COLS = [
     "doc_id", "pred", "hpo_id", "start", "end", "mention", "score", "negated",
@@ -133,13 +137,22 @@ def annotate(
         unmatched = (
             linked.filter(F.col("hpo_id").isNull())
             .filter(F.col("n_tokens") <= cfg.model_max_tokens)
+            # fuzzy acceptance of a NEGATED candidate is pure FP risk:
+            # the dictionary path keeps negated matches only because
+            # the reference emits them flagged (util.py:1171-1209); a
+            # model-stage guess on top of a negation cue has no parity
+            # precedent and measured -0.4 val precision.
+            .filter(~F.col("negated"))
             .drop("hpo_id", "score")
         )
         # J3: skip candidates nested inside an already-matched span
         # (gappy recovered spans don't contain what they don't cover).
-        survivors = suppress_contained_in(
-            unmatched, matched.filter(~F.col("gappy"))
-        )
+        anchors = matched.filter(~F.col("gappy"))
+        survivors = suppress_contained_in(unmatched, anchors)
+        # ... and candidates CONTAINING an exact match are equally
+        # barred: a longer fuzzy span must not displace the exact
+        # dictionary match inside it under use_longest resolution.
+        survivors = suppress_containing(survivors, anchors)
         model_matched = model_link(spark, survivors, onto, cfg)
         if model_matched is not None:
             matched = matched.unionByName(model_matched.select(*matched.columns))

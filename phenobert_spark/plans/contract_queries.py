@@ -1597,3 +1597,57 @@ def q94(spark, sf_dir):
     return sample_frames(blobs, frame_size=64, stride=48).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "q95_resize_grids",
+    r"""
+    WITH g AS (
+      SELECT doc_id, text, (length(text) // 32) AS h
+      FROM documents WHERE length(text) >= 128
+    ), cells AS (
+      SELECT doc_id, text, (h // 4) AS bh,
+             unnest(range(0, 16)) AS cell_idx
+      FROM g
+    ), sums AS (
+      SELECT doc_id, cell_idx, (bh * 8) AS n,
+             list_aggregate(list_transform(range(0, bh * 8), t ->
+               ord(substr(text,
+                 ((((cell_idx // 4) * bh + t // 8) * 32
+                   + ((cell_idx % 4) * 8 + t % 8)) + 1)::INT, 1))),
+               'sum') AS s
+      FROM cells
+    )
+    SELECT doc_id, cell_idx,
+           ((s // n) + CASE WHEN 2 * (s % n) > n THEN 1
+                            WHEN 2 * (s % n) = n THEN (s // n) % 2
+                            ELSE 0 END)::BIGINT AS cell_val
+    FROM sums ORDER BY doc_id, cell_idx
+    """,
+)
+def q95(spark, sf_dir):
+    """Image-resize analog (operators/multimodal.resize_grids): ASCII
+    payloads reinterpreted as width-32 uint8 grids, area-average pooled
+    to 4x4 — the same ASCII-grid trick as q94 gives the binary pooling
+    kernel an EXACT SQL oracle. The oracle reproduces numpy's
+    round-half-to-even on the block mean with pure integer arithmetic
+    (mean is exactly representable when the fraction is exactly 1/2, so
+    the CASE on 2*(s%n) vs n is bit-faithful); cells are exploded
+    JVM-side (hex/conv on the binary column) so the compared values are
+    plain BIGINTs with no binary-encoding convention in play."""
+    from ..operators.multimodal import resize_grids
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(32).alias("width"),
+    )
+    g = resize_grids(blobs, out_size=4)
+    cells = F.expr(
+        "transform(sequence(1, length(grid)), "
+        "i -> cast(conv(hex(substring(grid, i, 1)), 16, 10) as bigint))"
+    )
+    return g.select(
+        "doc_id", F.posexplode(cells).alias("cell_idx", "cell_val")
+    ).orderBy("doc_id", "cell_idx")

@@ -66,3 +66,34 @@ def test_suppress_contained_bruteforce_equivalence(spark):
         if not any(ad == d and as_ <= s and e <= ae for ad, as_, ae in anchors):
             slow.add((d, s, e))
     assert fast == slow
+
+
+def test_suppress_containing(spark):
+    from phenobert_spark.operators.spans import suppress_containing
+
+    probe = spark.createDataFrame(
+        [("d", 0, 10), ("d", 2, 5), ("d", 11, 14), ("d", 3, 6), ("e", 0, 10)],
+        SCHEMA,
+    )
+    anchors = spark.createDataFrame([("d", 3, 6)], SCHEMA)
+    got = {tuple(r) for r in suppress_containing(probe, anchors).collect()}
+    # (d,0,10) contains the anchor -> dropped; (d,3,6) equals the anchor
+    # -> dropped; (d,2,5) overlaps but does not contain -> kept
+    assert got == {("d", 2, 5), ("d", 11, 14), ("e", 0, 10)}
+
+
+def test_suppress_containing_bruteforce_equivalence(spark):
+    from phenobert_spark.operators.spans import suppress_containing
+
+    rng = random.Random(13)
+    rows = _random_spans(13)
+    anchors = [r for r in rows if rng.random() < 0.3]
+    probes = [r for r in rows if r not in anchors]
+    p = spark.createDataFrame(probes, SCHEMA)
+    a = spark.createDataFrame(anchors, SCHEMA)
+    fast = {tuple(r) for r in suppress_containing(p, a).collect()}
+    slow = set()
+    for d, s, e in probes:
+        if not any(ad == d and s <= as_ and ae <= e for ad, as_, ae in anchors):
+            slow.add((d, s, e))
+    assert fast == slow
