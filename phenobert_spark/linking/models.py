@@ -356,6 +356,33 @@ ABNORMALITY_TOKENS = frozenset(
     hyper hypo""".split()
 )
 
+# Meaning-bearing clinical suffixes: a token that EXTENDS another with
+# one of these is a different concept, not a morphological variant
+# ("hydroxyproline" vs "hydroxyprolinEMIA", "kerato" vs "keratOMA").
+# Char-similar tokens whose residual tails avoid this list and share a
+# >= 6-char prefix are promoted to exact matches ("craniosynostosic" ~
+# "craniosynostosis" — the stems differ by one char, so stem equality
+# alone misses them).
+ABN_SUFFIXES = frozenset(
+    """emia aemia uria osis itis oma omas pathy penia megaly cele
+    rrhea rrhoea rrhage ectasia plasia trophy plegia paresis spasm
+    algia cytosis sclerosis stenosis ptosis oedema edema""".split()
+)
+
+
+def _suffix_safe(a: str, b: str) -> bool:
+    """True when a/b look like morphological variants: common prefix
+    >= 6 chars and neither residual tail is a meaning-bearing suffix."""
+    k = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        k += 1
+    if k < 6:
+        return False
+    return a[k:] not in ABN_SUFFIXES and b[k:] not in ABN_SUFFIXES
+
+
 # Mutually-exclusive qualifier pairs: a phrase naming one side must not
 # fuzzy-match a surface naming the other ("narrow INTERNAL auditory
 # meatus" is not "stenosis of the EXTERNAL auditory canal"). Checked
@@ -421,6 +448,11 @@ def pair_score_idf(
             ]
             if bridged:
                 eq[bridged, j] = True
+    # promote suffix-safe char-similar pairs to exact matches (true
+    # morphological variants whose stems happen to differ)
+    for i, j in np.argwhere((sims >= 0.8) & ~eq):
+        if _suffix_safe(str(lemarr[i]), plem[j]):
+            eq[i, j] = True
     np.copyto(sims, 1.0, where=eq)
     idf_map = index.token_idf or {}
     p_idf = np.array(

@@ -279,18 +279,48 @@ def fit_logistic_spark(
     l2: float = 1e-4,
     n_partitions: int = 16,
 ) -> LogisticModel:
-    """Deterministic full-batch logistic regression; the gradient of
-    each epoch is computed DISTRIBUTED (one mapInPandas pass emitting a
-    (dim+2)-vector partial per partition: [grad_w, grad_b, loss] plus a
-    correct-prediction counter) and reduced on the driver in partition
-    order. Per-epoch counters mirror the reference's training accuracy
-    accounting (phenobert/utils/train.py:85-112).
+    """Driver-array front end of :func:`fit_logistic_df` (builds the
+    feature DataFrame from numpy, then trains distributed)."""
+    import pandas as pd
 
-    The feature DataFrame is built ONCE and persisted; each epoch
-    broadcasts the (dim+1) weight vector and aggregates the partials —
-    at 10^12-row supervision nothing but weights and partials crosses
+    n, _ = X.shape
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "x": list(X.astype(np.float64)),
+            "y": y.astype(np.float64),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(n_partitions, "pid")
+    return fit_logistic_df(
+        sdf, n_features=X.shape[1], epochs=epochs, lr=lr, l2=l2
+    )
+
+
+def fit_logistic_df(
+    sdf,
+    n_features: int,
+    feature_col: str = "x",
+    label_col: str = "y",
+    epochs: int = 60,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> LogisticModel:
+    """Deterministic full-batch logistic regression over a DataFrame
+    of (array<double> features, double label); the gradient of each
+    epoch is computed DISTRIBUTED (one mapInPandas pass emitting a
+    (dim+2)-vector partial per partition: [grad_w, grad_b, loss] plus a
+    correct-prediction counter) and reduced on the driver in a
+    content-sorted order (independent of partition layout). Per-epoch
+    counters mirror the reference's training accuracy accounting
+    (phenobert/utils/train.py:85-112).
+
+    The feature DataFrame is persisted ONCE; each epoch broadcasts the
+    (dim+1) weight vector and aggregates the partials — at 10^12-row
+    supervision nothing but weights and per-partition partials crosses
     the wire."""
     import pandas as pd
+    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -299,19 +329,12 @@ def fit_logistic_spark(
         StructType,
     )
 
-    n, d = X.shape
-    pdf = pd.DataFrame(
-        {
-            "pid": np.arange(n, dtype=np.int64),
-            "x": list(X.astype(np.float64)),
-            "y": y.astype(np.float64),
-        }
-    )
-    sdf = (
-        spark.createDataFrame(pdf)
-        .repartition(n_partitions, "pid")
-        .persist()
-    )
+    spark = sdf.sparkSession
+    d = n_features
+    sdf = sdf.select(
+        F.col(feature_col).cast("array<double>").alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    ).persist()
     sdf.count()  # materialize
 
     out_schema = StructType(

@@ -60,12 +60,15 @@ from ..functions.normalize import (
 )
 
 CONJUNCTIONS = frozenset({"and", "or", "/"})
-# Conjunctions are handled in step 5 (split + A+B recovery). "to" is a
-# spliter in the reference's fallback path only because its NER path
-# keeps phrases like "failure to thrive" intact (util.py:898-917); with
-# no NER here, splitting on "to" would make such mentions unreachable,
-# so it stays a stopword (dropped by simplify) but not a clause break.
-CLAUSE_SPLITERS = SPLITERS - CONJUNCTIONS - {"to"}
+# Conjunctions are handled in step 5 (split + A+B recovery). "to",
+# "both" and "that" are spliters in the reference's fallback path only
+# because its NER path keeps phrases like "failure to thrive",
+# "dilation of both lateral ventricles", "homocysteine that was
+# elevated" intact (util.py:898-917); with no NER here, splitting on
+# them makes such gold mentions structurally unreachable (the
+# tools/punkt_parity.py audit counts the divergence), so they stay
+# stopwords (dropped by simplify) but not clause breaks.
+CLAUSE_SPLITERS = SPLITERS - CONJUNCTIONS - {"to", "both", "that"}
 
 CANDIDATES_SCHEMA = StructType(
     [

@@ -1651,3 +1651,28 @@ def q95(spark, sf_dir):
     return g.select(
         "doc_id", F.posexplode(cells).alias("cell_idx", "cell_val")
     ).orderBy("doc_id", "cell_idx")
+
+
+@register("q96_train_counters")
+def q96(spark, sf_dir):
+    """A7 training-accuracy counters (linking/train.fit_logistic_df):
+    a distributed full-batch logistic fit over the embeddings table
+    (binary task: label >= 5), returning the per-epoch
+    (epoch, loss, acc, n) counter rows — the analog of the reference's
+    training loop accounting (phenobert/utils/train.py:85-112). An
+    iterative gradient algorithm is not SQL-expressible, so this entry
+    is rows-only by design; determinism is pinned instead by
+    tests/test_train.py (distributed fit == numpy twin, bitwise)."""
+    from ..linking.train import fit_logistic_df
+
+    e = _t(spark, sf_dir, "embeddings").repartition(16, "vec_id")
+    sdf = e.select(
+        F.col("embedding").cast("array<double>").alias("x"),
+        (F.col("label") >= 5).cast("double").alias("y"),
+    )
+    dim = len(e.select("embedding").first()[0])
+    model = fit_logistic_df(sdf, n_features=dim, epochs=8, lr=1.0)
+    return spark.createDataFrame(
+        [(c["epoch"], c["loss"], c["acc"], c["n"]) for c in model.counters],
+        "epoch int, loss double, acc double, n bigint",
+    )
