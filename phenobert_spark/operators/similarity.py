@@ -92,7 +92,7 @@ def cosine_topk_pandas(
 def _centroid_buckets(
     spark: SparkSession,
     df: DataFrame,
-    centroids: DataFrame,
+    centroids,
     nprobe: int,
     out_id: str,
     out_emb: str,
@@ -104,10 +104,19 @@ def _centroid_buckets(
     nodes — the old crossJoin(broadcast)+Window form shuffled the full
     n x n_centroids scored product (4e12 rows at 1e9 vectors x 4096
     centroids); this emits nprobe rows per input row with no shuffle at
-    all (tests/test_plans.py pins the plan)."""
-    cent_rows = centroids.select("vec_id", "embedding").collect()
-    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    all (tests/test_plans.py pins the plan).
+
+    ``centroids``: a DataFrame of (vec_id, embedding) rows, or a
+    prebuilt ``(ids, mat)`` numpy pair (e.g. from :func:`kmeans_fit`).
+    """
+    if isinstance(centroids, tuple):
+        cids, cmat = centroids
+        cids = np.asarray(cids, dtype=np.int64)
+        cmat = np.asarray(cmat, dtype=np.float64)
+    else:
+        cent_rows = centroids.select("vec_id", "embedding").collect()
+        cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+        cmat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     order = np.argsort(cids, kind="stable")
     cids, cmat, cnorm = cids[order], cmat[order], cnorm[order]
@@ -145,6 +154,89 @@ def _centroid_buckets(
     return df.select("vec_id", "embedding").mapInPandas(assign, out_schema)
 
 
+def kmeans_fit(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic Lloyd's k-means TRAINING of the IVF coarse
+    quantizer (the analog of faiss's trained quantizer; the untrained
+    alternative — centroids = first k vectors — is what it replaces).
+
+    Scale shape: each iteration is (1) the NARROW cosine-argmax
+    assignment of :func:`_centroid_buckets` (broadcast centroid
+    matmul, zero exchange) and (2) a mapInPandas pass emitting
+    per-partition (cid, count, sum-vector) PARTIALS — at most k rows
+    of dim floats per partition cross the wire, reduced on the driver
+    in content-sorted order. Nothing reshuffles the vectors
+    themselves. Deterministic: first-k-by-id init, fixed iteration
+    count, float64 partials, sorted reduce; an empty cluster keeps its
+    previous centroid."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField
+
+    init_rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(id_col, emb_col)
+        .collect()
+    )
+    cmat = np.array([r[1] for r in init_rows], dtype=np.float64)
+    cids = np.arange(len(cmat), dtype=np.int64)
+    part_schema = StructType(
+        [
+            StructField("cid", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("vec_sum", ArrayType(DoubleType()), False),
+        ]
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    for _ in range(iters):
+        assigned = _centroid_buckets(
+            spark, base, (cids, cmat), 1, "vec_id", "embedding"
+        )
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums: dict[int, np.ndarray] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                for cid, emb in zip(pdf["cid"], pdf["embedding"]):
+                    v = np.asarray(emb, dtype=np.float64)
+                    c = int(cid)
+                    if c in sums:
+                        sums[c] += v
+                        counts[c] += 1
+                    else:
+                        sums[c] = v.copy()
+                        counts[c] = 1
+            yield pd.DataFrame(
+                {
+                    "cid": list(sums),
+                    "n": [counts[c] for c in sums],
+                    "vec_sum": [sums[c] for c in sums],
+                }
+            )
+
+        parts = assigned.mapInPandas(partials, part_schema).collect()
+        new = cmat.copy()
+        agg_n: dict[int, int] = {}
+        agg_s: dict[int, np.ndarray] = {}
+        for r in sorted(parts, key=lambda r: (r.cid, r.n, tuple(r.vec_sum))):
+            agg_n[r.cid] = agg_n.get(r.cid, 0) + r.n
+            s = np.asarray(r.vec_sum)
+            agg_s[r.cid] = agg_s.get(r.cid, 0) + s
+        for c, n in agg_n.items():
+            if n > 0:
+                new[c] = agg_s[c] / n
+        cmat = new
+    return cids, cmat
+
+
 def ivf_topk(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -152,12 +244,19 @@ def ivf_topk(
     n_centroids: int = 8,
     k: int = 3,
     nprobe: int = 2,
+    quantizer: str = "first",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
-    """IVF ANN: assign vectors to their nearest centroid (coarse
-    quantizer = first n_centroids vectors, deterministic), then search
+    """IVF ANN: assign vectors to their nearest centroid, then search
     only the nprobe closest buckets per query. The coarse stages are
     NARROW (broadcast centroid matmul + per-row argmax, no exchange);
-    the single shuffle in the whole plan is the bucket equi-join."""
+    the single shuffle in the whole plan is the bucket equi-join.
+
+    ``quantizer``: "first" = the first n_centroids vectors (cheap,
+    deterministic), "kmeans" = Lloyd-trained centroids
+    (:func:`kmeans_fit`) — tighter buckets, higher recall at the same
+    nprobe. At nprobe = n_centroids both are EXACTLY brute force (the
+    q37/q97 oracle property)."""
 
     def dot(a, b):
         return F.aggregate(
@@ -169,7 +268,10 @@ def ivf_topk(
     def cos(a, b):
         return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
-    cent = embeddings.filter(F.col("vec_id") < n_centroids)
+    if quantizer == "kmeans":
+        cent = kmeans_fit(spark, embeddings, k=n_centroids, iters=kmeans_iters)
+    else:
+        cent = embeddings.filter(F.col("vec_id") < n_centroids)
     assigned = _centroid_buckets(
         spark, embeddings, cent, 1, "vec_id", "embedding"
     )

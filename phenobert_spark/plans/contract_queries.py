@@ -1676,3 +1676,39 @@ def q96(spark, sf_dir):
         [(c["epoch"], c["loss"], c["acc"], c["n"]) for c in model.counters],
         "epoch int, loss double, acc double, n bigint",
     )
+
+
+@register(
+    "q97_ivf_kmeans_full_probe",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a='q.qe', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 4)
+             AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY qid, cos DESC, nid
+    """,
+)
+def q97(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer (operators/similarity.
+    kmeans_fit — deterministic distributed Lloyd's: narrow cosine-
+    argmax assignment + per-partition partial-sum updates) at
+    nprobe = n_centroids: full probe makes IVF exactly brute force
+    regardless of the quantizer, so the q19/q37 oracle also gates the
+    k-means path — the training loop itself is verified by
+    tests/test_similarity.py (determinism + monotone objective)."""
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        spark, e, q, n_centroids=8, k=3, nprobe=8,
+        quantizer="kmeans", kmeans_iters=3,
+    ).orderBy("qid", F.col("cos").desc(), "nid")

@@ -130,3 +130,43 @@ def test_resize_grids_area_average(spark):
     r = got[0]
     assert bytes(r.grid) == expected.tobytes()
     assert r.grid_sha == hashlib.sha256(expected.tobytes()).hexdigest()
+
+
+def test_kmeans_fit_deterministic_and_converging(spark):
+    import numpy as np
+
+    from phenobert_spark.operators.similarity import kmeans_fit
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids1, m1 = kmeans_fit(spark, e, k=8, iters=3)
+    ids2, m2 = kmeans_fit(spark, e, k=8, iters=3)
+    assert np.array_equal(ids1, ids2)
+    assert np.allclose(m1, m2, atol=0)  # bitwise-deterministic reduce
+
+    # Lloyd objective (sum of cosine distance to assigned centroid)
+    # must not increase with more iterations
+    rows = e.select("embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def objective(cm):
+        cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        return float((1.0 - (Xn @ cn.T).max(axis=1)).sum())
+
+    _, m_early = kmeans_fit(spark, e, k=8, iters=1)
+    assert objective(m1) <= objective(m_early) + 1e-9
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(spark):
+    from phenobert_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 3)
+    full = ivf_topk(
+        spark, e, queries, n_centroids=8, k=3, nprobe=8,
+        quantizer="kmeans", kmeans_iters=2,
+    )
+    brute = ivf_topk(spark, e, queries, n_centroids=8, k=3, nprobe=8)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]

@@ -317,3 +317,54 @@ def test_sessionize_stream_idle_ttl_evicts_and_renumbers(spark, tmp_path):
         ]
     )
     assert got == want, got
+
+
+def test_sessionize_stream_late_event_folds_forward(spark, tmp_path):
+    """A late event (within the watermark, older than the state's
+    last_t) folds into the open session without moving last_t backward:
+    the session's event count grows, duration stays non-negative, and
+    the timeout horizon is monotone."""
+    import datetime as dt
+
+    from phenobert_spark.streaming.incremental import (
+        run_stream_to_completion,
+        sessionize_stream,
+    )
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec)
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp"
+
+    def run_wave(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        # generous watermark so the late event is NOT engine-dropped
+        out = sessionize_stream(stream, gap_s=1800, watermark="10 hours")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    run_wave([(1, t(1000)), (1, t(1500))])      # open session, last_t=1500
+    run_wave([(1, t(1200))])                     # LATE: folds in, n -> 3
+    run_wave([(9, t(200_000)), (9, t(200_001))])  # sentinel: flush
+
+    got = [
+        (r.user_id, r.session_id, r.n_events, r.duration_s)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id == 1
+    ]
+    assert got == [(1, 1, 3, 500)], got  # start 1000, last 1500, 3 events
