@@ -1,4 +1,5 @@
-"""Distributed transitive closure (SURVEY.md §2.3 J6).
+"""Distributed graph fixpoints: transitive closure (SURVEY.md §2.3 J6)
+and connected components (the dedup clustering stage).
 
 The ontology closure itself is driver-side BFS (17k nodes — broadcast
 territory, SURVEY.md §4 item 3). This operator is the distributed form
@@ -15,6 +16,74 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Undirected connected components via hash-min label propagation:
+    every node's label converges to the MINIMUM node id in its
+    component. Returns (node, component); ``component == node`` marks
+    the canonical representative — the standard final stage of a
+    near-duplicate dedup pipeline (LSH/Jaccard pairs -> clusters ->
+    keep one doc per cluster).
+
+    Scale shape: each iteration is one equi-join (labels shuffled on
+    the edge endpoint) plus one min-aggregate (map-side partial
+    combine), both on the node key — no cross join, no driver-side
+    graph. Convergence needs O(component diameter) iterations;
+    near-dup graphs are dense clusters with tiny diameters (2-4 in
+    practice), which is why plain hash-min is chosen over the
+    alternating large-star/small-star variant (that halves iterations
+    for path-shaped graphs at the cost of 2x the joins per round —
+    wrong trade here). ``localCheckpoint`` truncates lineage so the
+    plan stays flat across iterations; the per-round convergence check
+    is a changed-label anti-join (isEmpty touches only join metadata,
+    not a full materialize).
+
+    ``nodes``: optional (node) DataFrame for singletons that appear in
+    no edge — they come back labeled with themselves.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    endpoints = sym.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        endpoints = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .unionByName(endpoints)
+            .distinct()
+        )
+    labels = endpoints.select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for i in range(max_iters):
+        # pull each neighbor's current label onto the node, keep the min
+        prop = sym.join(
+            labels.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), on="node"
+            )
+            .filter(F.col("component") < F.col("old"))
+        )
+        if changed.isEmpty():
+            return new_labels
+        labels = new_labels
+    return labels
 
 
 def transitive_closure(

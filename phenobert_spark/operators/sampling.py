@@ -1,0 +1,85 @@
+"""Deterministic sampling / split assignment for training-data
+pipelines.
+
+At 100 TB a train/val/test split must be (a) a pure function of the
+row key — re-runs, backfills and late-arriving shards land in the same
+split with no coordination, (b) computed JVM-side in one narrow pass
+(no shuffle, no RNG state on executors), and (c) reproducible outside
+Spark so downstream consumers can verify membership.
+
+Both operators hash the key with md5 and compare the first 8 hex
+digits AS A STRING against hex thresholds. md5 hex is uniform per
+nibble and lowercase in every engine, so lexicographic comparison is
+an exact, portable uniform draw in [0, 1) with 2^-32 granularity —
+the same predicate runs verbatim in DuckDB/Trino/Postgres for audit
+(the q99 driver oracle does exactly that). ``F.rand(seed)`` is
+rejected here on purpose: it is seeded per-PARTITION, so any
+repartition or input-split change reshuffles every row's draw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16**8  # first 8 hex digits of md5
+
+
+def _hex_threshold(cum: float) -> str:
+    """Cumulative probability -> 8-digit lowercase hex cutoff."""
+    return format(min(int(cum * _SPACE), _SPACE - 1), "08x")
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with probability proportional
+    to ``weights`` (normalized), as a pure function of (id, salt).
+
+    One narrow projection — no shuffle, no UDF; ``salt`` derives
+    independent re-splits from the same keys (epoch-level resampling
+    without touching the data).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    names = list(weights)
+    bucket = _bucket(F.col(id_col), salt)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = bucket < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by key: the same
+    row is kept in every run, engine, and partitioning. The filter is
+    a narrow JVM predicate fused into the scan's codegen stage (it
+    cannot reach the parquet reader — md5 is a derived expression —
+    but rows drop before anything wide happens)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction == 1.0:
+        return df
+    return df.filter(
+        _bucket(F.col(id_col), salt) < F.lit(_hex_threshold(fraction))
+    )

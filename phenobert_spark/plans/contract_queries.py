@@ -15,7 +15,10 @@ Coverage map (operator ids from SURVEY.md §2):
   J2 q25  J7 q26  F6 q27  T1 q28  U2/U3/U5 q29  W5 q30
   grouping-sets q31  pipeline/UDF rows-only q90,q91  UDF-vs-SQL q92
   scale-path twins: q35 (PPJoin prefix Jaccard == q33 oracle),
-  q36 (pigeonhole-banded Hamming), q37 (IVF full-probe == q19 oracle)
+  q36 (pigeonhole-banded Hamming), q37 (IVF full-probe == q19 oracle),
+  q97 (k-means-trained IVF full-probe)
+  dedup clustering q98 (connected components vs recursive-CTE oracle)
+  split/sample q99 (hash_split/hash_sample, portable md5 thresholds)
 """
 
 from __future__ import annotations
@@ -1712,3 +1715,92 @@ def q97(spark, sf_dir):
         spark, e, q, n_centroids=8, k=3, nprobe=8,
         quantizer="kmeans", kmeans_iters=3,
     ).orderBy("qid", F.col("cos").desc(), "nid")
+
+
+@register(
+    "q98_dedup_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 40
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
+    ), sym AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM t
+      UNION
+      SELECT sym.a AS node, reach.lbl
+      FROM sym JOIN reach ON sym.b = reach.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component,
+           (MIN(lbl) = node) AS is_canonical
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q98(spark, sf_dir):
+    """Near-dup dedup end-to-end CLUSTERING stage: Jaccard candidate
+    pairs via the exact PPJoin prefix join (the q35-verified scale
+    path, never all-pairs) -> undirected connected components via
+    hash-min label propagation (operators/closure.connected_components)
+    -> canonical = min doc_id per cluster. The oracle recomputes the
+    same components with a recursive CTE (min reachable id per node),
+    so the distributed fixpoint is value-checked, like q08."""
+    from ..operators.closure import connected_components
+    from ..operators.dedup import jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = jaccard_pairs_prefix(d, threshold=0.2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, nodes=d.select("doc_id"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q99_hash_split_sample",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) < '40000000'
+             AS in_sample
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q99(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) plus a
+    salted 25% audit sample, both pure functions of the row key
+    (operators/sampling.hash_split / hash_sample): md5-hex-prefix
+    thresholds compare identically in Spark and DuckDB, so the oracle
+    re-derives every row's split membership verbatim — the property
+    that lets any downstream engine re-verify split assignment at
+    100 TB without re-shuffling data."""
+    from ..operators.sampling import hash_sample, hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    sampled = hash_sample(d, 0.25, salt="s1").select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return (
+        out.join(sampled, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+        )
+        .orderBy("doc_id")
+    )

@@ -171,3 +171,52 @@ def test_cdc_chunks_tile_and_survive_insertion(spark):
     h2 = {c.chunk_hash for c in by_doc[2]}
     shared = len(h1 & h2) / len(h1)
     assert shared >= 0.7, f"only {shared:.0%} of chunks survived the insertion"
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 5-node chain (diameter 4 — forces several propagation rounds),
+    a separate 2-clique, and an edge-less singleton."""
+    from phenobert_spark.operators.closure import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 5, 10, 11, 99]], "node bigint"
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (99, 99)}
+    assert got == want
+
+
+def test_connected_components_matches_bruteforce_on_lsh_pairs(spark):
+    """Components over real near-dup candidate pairs == a driver-side
+    union-find on the collected edges (small-n oracle)."""
+    from phenobert_spark.operators.closure import connected_components
+
+    d = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    pairs = jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs, nodes=d.select("doc_id")).collect()
+    }
+
+    parent = {r.doc_id: r.doc_id for r in d.select("doc_id").collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        a, b = find(r.src), find(r.dst)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {(n, find(n)) for n in parent}
+    assert got == want

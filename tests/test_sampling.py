@@ -1,0 +1,64 @@
+"""Deterministic split/sample operators (operators/sampling.py)."""
+
+import pyspark.sql.functions as F
+
+from phenobert_spark.operators.sampling import (
+    _hex_threshold,
+    hash_sample,
+    hash_split,
+)
+
+
+def test_hex_threshold_boundaries():
+    assert _hex_threshold(0.0) == "00000000"
+    assert _hex_threshold(0.25) == "40000000"
+    assert _hex_threshold(0.8) == "cccccccc"
+    assert _hex_threshold(1.0) == "ffffffff"  # clamped to the max key
+
+
+def test_hash_split_exhaustive_disjoint_and_partition_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {(r.doc_id, r.split) for r in hash_split(df, w).collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(df.repartition(13), w).collect()
+    }
+    assert a == b  # pure function of the key, not of partitioning
+    assert len(a) == 2000  # every row assigned exactly one split
+
+    counts = {s: 0 for s in w}
+    for _, s in a:
+        counts[s] += 1
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.07 < counts["val"] / 2000 < 0.13
+    assert 0.07 < counts["test"] / 2000 < 0.13
+
+
+def test_hash_split_weights_normalized(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, {"x": 1.0, "y": 1.0}).collect()
+    b = hash_split(df, {"x": 50.0, "y": 50.0}).collect()
+    assert {(r.doc_id, r.split) for r in a} == {
+        (r.doc_id, r.split) for r in b
+    }
+
+
+def test_hash_sample_is_subset_consistent_and_salted(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    kept = {r.doc_id for r in hash_sample(df, 0.25).collect()}
+    assert 0.20 < len(kept) / 2000 < 0.30
+    # nested sampling property: a smaller unsalted fraction is a
+    # strict subset of a larger one (same hash, lower threshold)
+    kept_small = {r.doc_id for r in hash_sample(df, 0.1).collect()}
+    assert kept_small <= kept
+    # a salt derives an (almost surely) different sample
+    salted = {r.doc_id for r in hash_sample(df, 0.25, salt="s1").collect()}
+    assert salted != kept
+    assert hash_sample(df, 1.0).count() == 2000
+
+
+def test_hash_sample_plan_is_narrow(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    plan = hash_sample(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
