@@ -49,8 +49,16 @@ def cosine_topk_pandas(
     k: int = 3,
     round_to: int = 4,
 ) -> DataFrame:
-    """Brute-force cosine scores via numpy matmul inside mapInPandas,
-    then a window top-k. Queries = vec_id < n_queries (deterministic)."""
+    """Brute-force cosine via numpy matmul inside mapInPandas, with a
+    PARTIAL top-k inside the UDF: each partition emits at most
+    n_queries x k rows (its own exact top-k per query under the final
+    (cos desc, nid asc) order), so the merge window shuffles
+    partitions x n_queries x k rows instead of every score — an ~n/k
+    reduction on the only exchange in the plan. Partial-then-merge is
+    exact: any global top-k row is necessarily in its home partition's
+    top-k under the same total order (rounding applied BEFORE selection
+    so tie-breaks match the merge window's). Queries = vec_id <
+    n_queries (deterministic)."""
     q_rows = (
         embeddings.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -61,23 +69,64 @@ def cosine_topk_pandas(
     q_norm = np.linalg.norm(q_mat, axis=1)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
+    def _topk_per_query(ids, nids, sims):
+        """Exact per-query top-k of a (nq, n_cand) rounded score block
+        under (cos desc, nid asc); excludes self-matches."""
+        qs, ns, cs = [], [], []
+        for qi in range(sims.shape[0]):
+            row, cand_ids = sims[qi], nids
+            keep = cand_ids != ids[qi]
+            row, cand_ids = row[keep], cand_ids[keep]
+            if not len(row):
+                continue
+            order = np.lexsort((cand_ids, -row))[:k]
+            qs.append(np.full(len(order), ids[qi]))
+            ns.append(cand_ids[order])
+            cs.append(row[order])
+        if not qs:
+            return None
+        return np.concatenate(qs), np.concatenate(ns), np.concatenate(cs)
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat, norms = bq.value
+        acc_q: list[np.ndarray] = []
+        acc_n: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
         for pdf in batches:
+            if pdf.empty:
+                continue
             cand = np.array(list(pdf["embedding"]), dtype=np.float64)
             nids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sims = (mat @ cand.T) / (
-                norms[:, None] * np.linalg.norm(cand, axis=1)[None, :]
+            sims = np.round(
+                (mat @ cand.T)
+                / (norms[:, None] * np.linalg.norm(cand, axis=1)[None, :]),
+                round_to,
             )
-            qidx, cidx = np.nonzero(np.ones_like(sims, dtype=bool))
-            out = pd.DataFrame(
-                {
-                    "qid": ids[qidx],
-                    "nid": nids[cidx],
-                    "cos": np.round(sims[qidx, cidx], round_to),
-                }
-            )
-            yield out[out.qid != out.nid]
+            top = _topk_per_query(ids, nids, sims)
+            if top is not None:
+                acc_q.append(top[0])
+                acc_n.append(top[1])
+                acc_c.append(top[2])
+        if not acc_q:
+            return
+        all_q = np.concatenate(acc_q)
+        all_n = np.concatenate(acc_n)
+        all_c = np.concatenate(acc_c)
+        # final partition-level reduce: top-k per query over the kept rows
+        out_q, out_n, out_c = [], [], []
+        for qid in np.unique(all_q):
+            m = all_q == qid
+            order = np.lexsort((all_n[m], -all_c[m]))[:k]
+            out_q.append(np.full(len(order), qid))
+            out_n.append(all_n[m][order])
+            out_c.append(all_c[m][order])
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "nid": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            }
+        )
 
     scored = embeddings.select("vec_id", "embedding").mapInPandas(score, TOPK_SCHEMA)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())

@@ -79,24 +79,46 @@ def annotate(
     # provable dictionary misses (~20-50x fewer candidate rows). The
     # model stages want the over-generated set, so pruning is off there.
     if vocab_bc is None and cfg.vocab_prune:
-        if cfg.use_model_stages:
-            # relaxed predicate: keep morphological variants for the
-            # fuzzy model stage (prefix-5 / lemma adjacency)
-            from .linking.models import RelaxedVocab
+        # broadcast cache: the vocab object itself is already cached on
+        # the ontology, but sc.broadcast() re-serializes and re-ships it
+        # on every annotate() call — repeated invocations (bench loops,
+        # notebook sessions) reuse the broadcast as long as the same
+        # SparkContext is alive (keyed by applicationId)
+        bc_cache = onto.__dict__.setdefault("_vocab_bc_cache", {})
+        bk = (
+            spark.sparkContext.applicationId,
+            cfg.use_model_stages,
+            cfg.syn_tier_min_count,
+            cfg.syn_phrase_min_count,
+        )
+        vocab_bc = bc_cache.get(bk)
+        if vocab_bc is None:
+            if cfg.use_model_stages:
+                # relaxed predicate: keep morphological variants for the
+                # fuzzy model stage (prefix-5 / lemma adjacency)
+                from .linking.models import RelaxedVocab
 
-            vocab_bc = spark.sparkContext.broadcast(RelaxedVocab(onto.vocab()))
-        else:
-            vocab_bc = spark.sparkContext.broadcast(
-                onto.prune_vocab(
-                    syn_min_count=cfg.syn_tier_min_count,
-                    syn_phrase_min_count=cfg.syn_phrase_min_count,
+                vocab_bc = spark.sparkContext.broadcast(
+                    RelaxedVocab(onto.vocab())
                 )
+            else:
+                vocab_bc = spark.sparkContext.broadcast(
+                    onto.prune_vocab(
+                        syn_min_count=cfg.syn_tier_min_count,
+                        syn_phrase_min_count=cfg.syn_phrase_min_count,
+                    )
+                )
+            bc_cache[bk] = vocab_bc
+    gate_bc = None
+    if cfg.gate_max_df is not None:
+        bc_cache = onto.__dict__.setdefault("_vocab_bc_cache", {})
+        gk = (spark.sparkContext.applicationId, "gate", cfg.gate_max_df)
+        gate_bc = bc_cache.get(gk)
+        if gate_bc is None:
+            gate_bc = spark.sparkContext.broadcast(
+                onto.head_vocab(cfg.gate_max_df)
             )
-    gate_bc = (
-        spark.sparkContext.broadcast(onto.head_vocab(cfg.gate_max_df))
-        if cfg.gate_max_df is not None
-        else None
-    )
+            bc_cache[gk] = gate_bc
     cands = generate_candidates(
         chunks, cfg.max_kmer_len, vocab_bc=vocab_bc, gate_bc=gate_bc
     )

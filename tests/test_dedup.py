@@ -220,3 +220,34 @@ def test_connected_components_matches_bruteforce_on_lsh_pairs(spark):
             parent[max(a, b)] = min(a, b)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+def test_dedup_corpus_job_end_to_end(spark, tmp_path):
+    """jobs/dedup_corpus.py: pairs -> components -> one canonical doc
+    per near-dup cluster, original columns preserved."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.dedup_corpus import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(ROWS, "doc_id bigint, text string").write.parquet(src)
+    main(
+        ["--input", src, "--output", out, "--keep-assignments"],
+        spark=spark,
+    )
+    kept = spark.read.parquet(f"{out}/deduped")
+    asg = {
+        (r.doc_id, r.component)
+        for r in spark.read.parquet(f"{out}/assignments").collect()
+    }
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # canonical = min id per component; every component keeps exactly one
+    comps = {}
+    for d, c in asg:
+        comps.setdefault(c, set()).add(d)
+    assert kept_ids == {min(m) for m in comps.values()}
+    assert set(kept.columns) == {"doc_id", "text"}
+    # docs 1,2,3 are (near-)dups of each other -> single survivor
+    assert len({1, 2, 3} & kept_ids) == 1

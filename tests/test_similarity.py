@@ -170,3 +170,19 @@ def test_ivf_kmeans_full_probe_equals_bruteforce(spark):
     assert [tuple(r) for r in full.collect()] == [
         tuple(r) for r in brute.collect()
     ]
+
+
+def test_cosine_topk_partial_is_partition_invariant(spark):
+    """The in-UDF partial top-k must be exact regardless of how the
+    candidate vectors are split across partitions (each partition emits
+    its own top-k under the merge window's exact tie order)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = [tuple(r) for r in cosine_topk_pandas(spark, e.coalesce(1), n_queries=5, k=3).collect()]
+    for nparts in (3, 17):
+        got = [
+            tuple(r)
+            for r in cosine_topk_pandas(
+                spark, e.repartition(nparts), n_queries=5, k=3
+            ).collect()
+        ]
+        assert got == want, nparts
