@@ -53,32 +53,85 @@ def exact_dedup(
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _cw_params(i: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman (a, b) for seed i: odd a in
+    [1, 2^31), b in [0, 2^31) — derived from fixed multiplicative
+    constants, no RNG state."""
+    a = ((2654435761 * (i + 1)) % _MERSENNE_31) | 1
+    b = (40503 * (i + 7) ** 2) % _MERSENNE_31
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 4,
     shingle_w: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, mh1..mhN): per-document MinHash signature.
 
-    Hash family: ONE md5 per shingle, split into N disjoint 8-hex-char
-    windows — each window is an independent 32-bit hash, so taking the
-    per-window lexicographic min gives N independent minhashes with a
-    quarter of the digest work of N seeded md5 calls (the digest
-    dominates this operator's CPU; measured ~2x on the q17 bench).
-    Requires n_hashes <= 4 (md5 is 32 hex chars).
+    Two hash families, identical output shape (8-hex-char strings, so
+    downstream banding is family-agnostic):
 
-    Plan shape: transform(md5) computes the digest once per shingle;
-    the struct-accumulator aggregate then only slices substrings. A
-    per-seed ``array_min(transform(...))`` would re-tokenize and
-    re-shingle the text per seed (lambdas block common-subexpression
-    elimination)."""
+    * ``md5`` (default; the q17 DuckDB-oracle-portable family): ONE
+      md5 per shingle, split into N disjoint 8-hex-char windows — each
+      window is an independent 32-bit hash, so taking the per-window
+      lexicographic min gives N independent minhashes with a quarter
+      of the digest work of N seeded md5 calls. n_hashes <= 4.
+    * ``xxhash`` (the wide-signature family): ONE xxhash64 per shingle
+      (JVM intrinsic, no digest), reduced mod the Mersenne prime
+      2^31-1, then N Carter-Wegman affine maps (a_i*h + b_i) mod p —
+      per EXTRA hash the cost is two multiplies, not another digest.
+      Operands stay < 2^62 so ANSI-mode arithmetic can't overflow.
+      Measured at sf0.1 x4 (20k docs): md5/4 3.45s, xxhash/4 3.28s,
+      xxhash/16 4.01s — shingle construction dominates both families,
+      so the win is WIDTH: 4x the signature (tighter Jaccard estimates,
+      finer band geometry) for +22% wall instead of 4x the digest work.
+      Supports n_hashes up to 16.
+
+    Plan shape (both): the expensive hash runs ONCE per shingle inside
+    a single transform(); the struct-accumulator aggregate then only
+    slices (md5) or multiplies (xxhash). A per-seed
+    ``array_min(transform(...))`` would re-tokenize and re-shingle the
+    text per seed (lambdas block common-subexpression elimination)."""
+    sh = _shingles(F.col(text_col), shingle_w)
+    names = [f"mh{i+1}" for i in range(n_hashes)]
+    if hash_family == "xxhash":
+        if n_hashes > 16:
+            raise ValueError("n_hashes <= 16 for the xxhash family")
+        p = F.lit(_MERSENNE_31)
+        hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p))
+        params = [_cw_params(i) for i in range(n_hashes)]
+        init = F.struct(
+            *[F.lit(_MERSENNE_31).cast("bigint").alias(n) for n in names]
+        )
+
+        def step(acc, h):
+            return F.struct(
+                *[
+                    F.least(
+                        acc[n], F.pmod(F.lit(a) * h + F.lit(b), p)
+                    ).alias(n)
+                    for (a, b), n in zip(params, names)
+                ]
+            )
+
+        agg = F.aggregate(hs, init, step)
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            *[
+                F.lpad(F.lower(F.hex(agg[n])), 8, "0").alias(n)
+                for n in names
+            ],
+        )
     if n_hashes > 4:
         raise ValueError("n_hashes <= 4 (one md5 split into 8-hex windows)")
-    sh = _shingles(F.col(text_col), shingle_w)
     hs = F.transform(sh, F.md5)
-    names = [f"mh{i+1}" for i in range(n_hashes)]
     init = F.struct(*[F.lit("~").alias(n) for n in names])  # '~' > any hex
 
     def step(acc, h):
