@@ -1,0 +1,124 @@
+"""Corpus-level text analysis for training-data pipelines.
+
+Reusable Column builders (JVM-side, no UDFs) behind the q13/q14/q15
+contract queries, plus the two corpus-scale compositions every
+LLM-data pipeline runs before training:
+
+* :func:`corpus_filter` — quality gating with per-row audit REASONS
+  (the keep/drop decision must be explainable and re-derivable months
+  later; a bare ``filter()`` is not).
+* :func:`vocab_topk` — corpus vocabulary with term and document
+  frequencies (tokenizer training, OOV analysis, min_df pruning).
+
+Scale notes: everything here is one narrow projection or one
+aggregation keyed on the token. The token aggregation relies on
+map-side partial aggregation — heavy-hitter skew ("the" appearing in
+every partition) is absorbed by the combiner, so the shuffle carries
+one row per (partition, token), never one per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: GPT-2-style pre-tokenization, restricted to lookahead-free syntax so
+#: Java regex and DuckDB RE2 count identically (see q13).
+BPE_PRETOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+QUALITY_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+]
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+
+
+def stopword_ratio(
+    toks: Column, stopwords: list[str] | None = None
+) -> Column:
+    stop = F.array(*[F.lit(s) for s in stopwords or QUALITY_STOPWORDS])
+    nstop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return nstop / F.size(toks).cast("double")
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.05,
+    max_chars_per_token: float = 20.0,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Append ``keep`` (boolean) and ``drop_reasons`` (sorted array of
+    failed-rule names, empty when kept) to every row.
+
+    Deliberately NOT a filter: at 100 TB the drop set is itself an
+    artifact (audited, sampled, re-thresholded without re-reading the
+    corpus). Callers do ``.filter("keep")`` for the training view and
+    keep the full frame for the audit view — one narrow pass either
+    way, no UDFs, rules re-derivable in any SQL engine."""
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    cpt = F.length(F.col(text_col)) / n.cast("double")
+    ratio = stopword_ratio(toks, stopwords)
+    rules = [
+        ("too_short", n < min_tokens),
+        ("too_long", n > max_tokens),
+        ("low_stopword_ratio", ratio < min_stopword_ratio),
+        ("long_tokens", cpt > max_chars_per_token),
+    ]
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, tf, df) by descending term
+    frequency, ties broken by token — deterministic.
+
+    Plan: explode -> one hash aggregate on the token (count + distinct
+    doc count via a two-level aggregate so the combiner still applies)
+    -> global top-k. The distinct-doc count pre-aggregates on
+    (token, doc) first — the wire carries each (token, doc) once, and
+    the heavy-hitter token rows collapse map-side."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "_doc")
+        .agg(F.count("*").alias("_n"))
+    )
+    agg = (
+        tok.groupBy("token")
+        .agg(
+            F.sum("_n").cast("bigint").alias("tf"),
+            F.count("*").cast("bigint").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)

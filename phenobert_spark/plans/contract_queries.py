@@ -1804,3 +1804,68 @@ def q99(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q100_vocab_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), td AS (
+      SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY token, doc_id
+    )
+    SELECT token, SUM(n)::BIGINT AS tf, COUNT(*)::BIGINT AS df
+    FROM td GROUP BY token
+    ORDER BY tf DESC, token ASC LIMIT 50
+    """,
+)
+def q100(spark, sf_dir):
+    """Corpus vocabulary builder (operators/text.vocab_topk): top-50
+    tokens by term frequency with document frequency — the
+    tokenizer-training / min_df-pruning staple. Two-level aggregate so
+    heavy-hitter tokens collapse in the map-side combiner."""
+    from ..operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "q101_corpus_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(text) / len(toks)::DOUBLE AS cpt,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','on'], x)))
+               / len(toks)::DOUBLE AS ratio
+      FROM t
+    )
+    SELECT doc_id,
+           list_sort(list_filter(
+             [CASE WHEN n < 5 THEN 'too_short' END,
+              CASE WHEN n > 100000 THEN 'too_long' END,
+              CASE WHEN ratio < 0.05 THEN 'low_stopword_ratio' END,
+              CASE WHEN cpt > 20.0 THEN 'long_tokens' END],
+             x -> x IS NOT NULL)) AS drop_reasons,
+           (n >= 5 AND n <= 100000 AND ratio >= 0.05 AND cpt <= 20.0)
+             AS keep
+    FROM r ORDER BY doc_id
+    """,
+)
+def q101(spark, sf_dir):
+    """Audit-friendly quality gating (operators/text.corpus_filter):
+    every row gets keep + the sorted list of failed rules, re-derivable
+    verbatim in any SQL engine — the oracle recomputes both columns."""
+    from ..operators.text import corpus_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_filter(d).select("doc_id", "drop_reasons", "keep").orderBy(
+        "doc_id"
+    )

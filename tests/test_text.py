@@ -1,0 +1,52 @@
+"""Corpus text-analysis operators (operators/text.py)."""
+
+import pyspark.sql.functions as F
+
+from phenobert_spark.operators.text import corpus_filter, vocab_topk
+
+ROWS = [
+    (1, "the cat sat on the mat and the cat slept"),
+    (2, "the dog ran to the park and the dog barked"),
+    (3, "xzqw"),                                   # too short, no stopwords
+    (4, "supercalifragilisticexpialidocious " * 6),  # long tokens, no stopwords
+]
+
+
+def test_corpus_filter_reasons(spark):
+    d = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.keep, list(r.drop_reasons))
+        for r in corpus_filter(d).collect()
+    }
+    assert got[1] == (True, [])
+    assert got[2] == (True, [])
+    assert got[3] == (False, ["low_stopword_ratio", "too_short"])
+    assert set(got[4][1]) >= {"long_tokens", "low_stopword_ratio"}
+    assert got[4][0] is False
+    # reasons are sorted (deterministic audit artifact)
+    for _, reasons in got.values():
+        assert reasons == sorted(reasons)
+
+
+def test_corpus_filter_is_narrow(spark):
+    d = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    plan = corpus_filter(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_topk_counts(spark):
+    d = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    got = [(r.token, r.tf, r.df) for r in vocab_topk(d, k=3).collect()]
+    # tf=6 tie between doc 4's repeated token and 'the'; token asc
+    assert got[0] == ("supercalifragilisticexpialidocious", 6, 1)
+    assert got[1] == ("the", 6, 2)
+    assert got[2] in (("and", 2, 2), ("cat", 2, 1), ("dog", 2, 1))
+    tfs = [tf for _, tf, _ in got]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_vocab_topk_min_df(spark):
+    d = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    got = {r.token for r in vocab_topk(d, k=100, min_df=2).collect()}
+    assert "the" in got and "and" in got
+    assert "cat" not in got  # df=1
