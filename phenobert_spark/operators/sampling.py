@@ -65,6 +65,88 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    n_buckets: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training sequences
+    (first-fit-decreasing bin packing), deterministically.
+
+    Returns (id, size, bucket, bin, offset): ``(bucket, bin)`` is the
+    global sequence key; ``offset`` is the document's token start
+    inside it. Documents larger than ``capacity`` get a bin of their
+    own (callers chunk or drop them — flagged by size > capacity).
+
+    Scale shape: global optimal bin packing is NP-hard and inherently
+    serial, so the standard distributed form is used — rows are
+    hash-bucketed by key (same portable md5 predicate as
+    :func:`hash_split`, so the layout is reproducible in any engine),
+    and each bucket packs INDEPENDENTLY with first-fit-decreasing
+    inside one ``applyInPandas`` group. Waste is bounded by one
+    partial bin per bucket (FFD itself guarantees <= 11/9 OPT + 1 bins
+    per bucket); more buckets = more parallelism, marginally more
+    boundary waste. Deterministic: bucket = pure hash of the id, and
+    packing order inside a bucket is (size desc, id asc)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if n_buckets is None:
+        n_buckets = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    bucket = F.pmod(
+        F.conv(_bucket(F.col(id_col), salt), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    out_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("size", LongType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("bin", LongType(), False),
+            StructField("offset", LongType(), False),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_size", "_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # current fill per bin
+        bins: list[int] = []
+        offs: list[int] = []
+        for sz in pdf["_size"]:
+            sz = int(sz)
+            for bi, fill in enumerate(fills):
+                if fill + sz <= capacity:
+                    bins.append(bi)
+                    offs.append(fill)
+                    fills[bi] = fill + sz
+                    break
+            else:
+                bins.append(len(fills))
+                offs.append(0)
+                fills.append(sz)
+        return pd.DataFrame(
+            {
+                "id": pdf["_id"],
+                "size": pdf["_size"],
+                "bucket": pdf["_bucket"],
+                "bin": bins,
+                "offset": offs,
+            }
+        )
+
+    rows = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(size_col).cast("bigint").alias("_size"),
+        bucket.alias("_bucket"),
+    )
+    return rows.groupBy("_bucket").applyInPandas(pack, out_schema)
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,

@@ -1869,3 +1869,22 @@ def q101(spark, sf_dir):
     return corpus_filter(d).select("doc_id", "drop_reasons", "keep").orderBy(
         "doc_id"
     )
+
+
+@register("q102_pack_sequences")
+def q102(spark, sf_dir):
+    """Sequence packing for training batches (operators/sampling.
+    pack_sequences): hash-bucketed first-fit-decreasing assignment of
+    docs to fixed-capacity token bins. Iterative bin packing is not
+    SQL-expressible — rows-only by design; the packing invariants
+    (contiguous offsets, capacity bound, determinism, FFD waste bound)
+    are pinned in tests/test_sampling.py."""
+    from ..operators.sampling import pack_sequences
+    from ..operators.text import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(d, capacity=256, n_buckets=4).orderBy(
+        "bucket", "bin", "offset"
+    )

@@ -62,3 +62,46 @@ def test_hash_sample_plan_is_narrow(spark):
     df = spark.range(1000).withColumnRenamed("id", "doc_id")
     plan = hash_sample(df, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_invariants(spark):
+    from phenobert_spark.operators.sampling import pack_sequences
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(10, 900)) for i in range(500)]
+    rows.append((9999, 5000))  # oversized
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    cap = 1024
+    got = pack_sequences(df, capacity=cap, n_buckets=4).collect()
+
+    assert len(got) == len(rows)  # every doc assigned exactly once
+    assert len({r.id for r in got}) == len(rows)
+
+    from collections import defaultdict
+
+    by_bin = defaultdict(list)
+    for r in got:
+        by_bin[(r.bucket, r.bin)].append((r.offset, r.size, r.id))
+    for key, docs in by_bin.items():
+        docs.sort()
+        fill = 0
+        for off, sz, did in docs:
+            assert off == fill, (key, docs)  # contiguous, no overlap
+            fill = off + sz
+        if len(docs) > 1 or docs[0][1] <= cap:
+            assert fill <= cap, (key, fill)
+        else:
+            assert docs[0][2] == 9999  # oversized doc is alone in its bin
+
+    # waste bound: total bin capacity < total tokens + one partial bin
+    # per open bin per bucket is too lax to pin, but FFD at these sizes
+    # should land under 1.5x optimal
+    total = sum(sz for _, sz in rows if sz <= cap)
+    n_bins = len([k for k, d in by_bin.items() if not (len(d) == 1 and d[0][1] > cap)])
+    assert n_bins * cap < 1.5 * total + 4 * cap
+
+    # determinism across input partitionings
+    got2 = pack_sequences(df.repartition(13), capacity=cap, n_buckets=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
