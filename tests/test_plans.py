@@ -66,3 +66,32 @@ def test_ivf_assignment_plan_is_narrow(spark):
     )
     plan = _formatted_plan(spark, probes)
     assert "Exchange" not in plan, plan
+
+
+def test_connected_components_iteration_plan(spark):
+    """One CC iteration must be equi-join + keyed aggregate only:
+    no cartesian/nested-loop join anywhere in the fixpoint plan."""
+    from phenobert_spark.operators.closure import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src bigint, dst bigint"
+    )
+    labels = connected_components(edges, max_iters=3)
+    plan = _formatted_plan(spark, labels)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing = one hash-bucket exchange + in-group pandas; nothing
+    else may shuffle."""
+    import re
+
+    from phenobert_spark.operators.sampling import pack_sequences
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    plan = _formatted_plan(spark, pack_sequences(df, capacity=64, n_buckets=4))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
