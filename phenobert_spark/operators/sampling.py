@@ -65,6 +65,47 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT stratified split: within every stratum the split sizes
+    match the weight proportions to within one row (prefix sizes are
+    ceil(cum_weight * stratum_size) minus the previous prefix) — unlike
+    :func:`hash_split`, whose proportions are only correct in
+    expectation and can wobble inside small strata.
+
+    Deterministic: rows rank within their stratum by (md5 bucket, id)
+    — a pure function of the data — and ranks map to splits by
+    cumulative-weight thresholds on rank/stratum_size. Cost: one
+    shuffle on the stratum key (the rank and the stratum size share
+    the same window exchange). Use hash_split when strata are huge and
+    a shuffle-free plan matters more than exact proportions."""
+    from pyspark.sql import Window
+
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    names = list(weights)
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    frac = (F.row_number().over(w) - F.lit(1)) / F.count("*").over(wc)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,

@@ -1871,6 +1871,38 @@ def q101(spark, sf_dir):
     )
 
 
+@register(
+    "q103_stratified_split",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) - 1 AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN r / n::DOUBLE < 0.8 THEN 'train'
+                WHEN r / n::DOUBLE < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM t ORDER BY doc_id
+    """,
+)
+def q103(spark, sf_dir):
+    """Exact per-stratum split (operators/sampling.stratified_split):
+    80/10/10 within every language, deterministic hash-rank order —
+    the oracle recomputes every row's assignment with the same window
+    arithmetic."""
+    from ..operators.sampling import stratified_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, strata_col="lang"
+    ).orderBy("doc_id")
+
+
 @register("q102_pack_sequences")
 def q102(spark, sf_dir):
     """Sequence packing for training batches (operators/sampling.

@@ -105,3 +105,30 @@ def test_pack_sequences_invariants(spark):
     # determinism across input partitionings
     got2 = pack_sequences(df.repartition(13), capacity=cap, n_buckets=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_stratified_split_exact_proportions(spark):
+    from phenobert_spark.operators.sampling import stratified_split
+
+    import math
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = stratified_split(df, w, strata_col="lang").collect()
+
+    from collections import Counter
+
+    by = Counter((r.lang, r.split) for r in got)
+    for lang, n in (("en", 66), ("de", 34)):
+        n_train = math.ceil(0.8 * n)
+        n_val = math.ceil(0.9 * n) - n_train
+        assert by[(lang, "train")] == n_train, (lang, dict(by))
+        assert by[(lang, "val")] == n_val
+        assert by[(lang, "test")] == n - n_train - n_val
+
+    # deterministic across partitionings
+    got2 = stratified_split(
+        df.repartition(11), w, strata_col="lang"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
