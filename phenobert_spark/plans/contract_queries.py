@@ -1903,6 +1903,45 @@ def q103(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "q104_corpus_length_stats",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n
+      FROM documents
+    )
+    SELECT lang,
+           ROUND(quantile_cont(n, 0.5), 4) AS p50,
+           ROUND(quantile_cont(n, 0.9), 4) AS p90,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99,
+           MAX(n)::BIGINT AS max_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q104(spark, sf_dir):
+    """Exact token-length percentiles per language — the sequence-
+    length budget planner (choosing pack_sequences capacity, truncation
+    thresholds). Spark's exact `percentile` and DuckDB's quantile_cont
+    share linear-interpolation semantics bit-for-bit (probed), so the
+    oracle is a value check, not an approximation match."""
+    from ..operators.text import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(whitespace_tokens(F.col("text"))).alias("n")
+    return (
+        d.select("lang", n)
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("q102_pack_sequences")
 def q102(spark, sf_dir):
     """Sequence packing for training batches (operators/sampling.
