@@ -446,3 +446,35 @@ def cosine_neardup_lsh(
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", round_to).alias("cos"))
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, scale, q, max_err).
+
+    ``q[i] = round(x[i] / scale)`` with ``scale = max|x| / 127`` — the
+    standard storage/serving compression for embedding columns (4x
+    smaller than float32, 8x than float64; cosine on int8 with one
+    rescale is the usual serving path). One narrow JVM pass — array
+    higher-order functions only, no UDF, no shuffle; every value
+    (including the reconstruction-error audit column ``max_err``) is
+    re-derivable in plain SQL, which q105 does verbatim."""
+    x = F.col(emb_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    err = F.array_max(
+        F.zip_with(
+            x, q, lambda v, qi: F.abs(v - qi.cast("double") * scale)
+        )
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, round_to).alias("scale"),
+        q.alias("q"),
+        F.round(err, round_to).alias("max_err"),
+    )

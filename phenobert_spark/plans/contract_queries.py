@@ -1942,6 +1942,34 @@ def q104(spark, sf_dir):
     )
 
 
+@register(
+    "q105_quantize_embeddings",
+    """
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(v))) / 127.0 AS s
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(s, 6) AS scale,
+           list_transform(embedding, v -> CAST(round(v / s) AS INTEGER)) AS q,
+           ROUND(list_max(list_transform(
+             embedding, v -> abs(v - round(v / s) * s))), 6) AS max_err
+    FROM t ORDER BY vec_id
+    """,
+)
+def q105(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators/similarity.quantize_embeddings): per-vector scale,
+    int8 codes, and the reconstruction-error audit column — one narrow
+    JVM pass, every output value re-derived verbatim by the oracle."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
+
+
 @register("q102_pack_sequences")
 def q102(spark, sf_dir):
     """Sequence packing for training batches (operators/sampling.

@@ -186,3 +186,23 @@ def test_cosine_topk_partial_is_partition_invariant(spark):
             ).collect()
         ]
         assert got == want, nparts
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from phenobert_spark.operators.similarity import quantize_embeddings
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = quantize_embeddings(e).collect()
+    src = {r.vec_id: np.array(r.embedding) for r in e.collect()}
+    assert len(got) == len(src)
+    for r in got:
+        x = src[r.vec_id]
+        q = np.array(r.q, dtype=np.int64)
+        assert np.abs(q).max() <= 127
+        scale = np.abs(x).max() / 127.0
+        # reconstruction error bounded by half a quantization step
+        err = np.abs(x - q * scale).max()
+        assert err <= scale / 2 + 1e-12
+        assert abs(r.max_err - err) < 1e-5  # audit column is honest
