@@ -50,3 +50,38 @@ def test_vocab_topk_min_df(spark):
     got = {r.token for r in vocab_topk(d, k=100, min_df=2).collect()}
     assert "the" in got and "and" in got
     assert "cat" not in got  # df=1
+
+
+def test_corpus_filter_composes_with_streaming(spark, tmp_path):
+    """corpus_filter is stateless Column arithmetic, so it drops into a
+    readStream pipeline unchanged — batch and streaming results are
+    row-identical."""
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    df = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        corpus_filter(stream)
+        .select("doc_id", "keep", "drop_reasons")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.keep, tuple(r.drop_reasons))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.keep, tuple(r.drop_reasons))
+        for r in corpus_filter(df)
+        .select("doc_id", "keep", "drop_reasons")
+        .collect()
+    }
+    assert got == want
