@@ -30,19 +30,23 @@ _WORKER_ENCODER: HashedEncoder | None = None
 # driver-side ConceptIndex cache: the index depends only on the
 # ontology object and the smoothing weight, and costs ~15s to build —
 # repeated annotate() calls in one session must not pay it twice.
-_INDEX_CACHE: dict[tuple[int, float, int], ConceptIndex] = {}
+# Stored ON the ontology object (like pipeline.py's _vocab_bc_cache):
+# a module-level dict keyed by id(onto) would survive the ontology's
+# garbage collection and silently serve a stale index if a new object
+# reused the address — and would never evict.
 
 
 def cached_index(
     onto: Ontology, gcn_lambda: float, subs_min_count: int = 3
 ) -> ConceptIndex:
-    key = (id(onto), gcn_lambda, subs_min_count)
-    idx = _INDEX_CACHE.get(key)
+    cache = onto.__dict__.setdefault("_concept_index_cache", {})
+    key = (gcn_lambda, subs_min_count)
+    idx = cache.get(key)
     if idx is None:
         idx = ConceptIndex.build(
             onto, gcn_lambda=gcn_lambda, subs_min_count=subs_min_count
         )
-        _INDEX_CACHE[key] = idx
+        cache[key] = idx
     return idx
 
 

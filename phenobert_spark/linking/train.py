@@ -464,9 +464,6 @@ class TrainedMatcher:
         return best
 
 
-_MATCHER_CACHE: dict[int, TrainedMatcher] = {}
-
-
 def trained_matcher(
     onto: Ontology,
     spark=None,
@@ -474,9 +471,14 @@ def trained_matcher(
 ) -> TrainedMatcher:
     """Build (and cache per ontology) the supervision-fit M4 matcher.
     With a SparkSession the logistic fit runs distributed (and its A7
-    counters come from the cluster); without, the numpy twin."""
-    key = id(onto)
-    hit = _MATCHER_CACHE.get(key)
+    counters come from the cluster); without, the numpy twin.
+
+    The cache lives on the ontology object itself — an id(onto)-keyed
+    module dict could hand back a matcher trained on a different,
+    already-collected ontology whose address got reused."""
+    cache = onto.__dict__.setdefault("_trained_matcher_cache", {})
+    key = epochs
+    hit = cache.get(key)
     if hit is not None:
         return hit
     feat = AlignFeaturizer(onto)
@@ -488,7 +490,7 @@ def trained_matcher(
     else:
         model = fit_logistic_numpy(X, y, epochs=epochs)
     m = TrainedMatcher(featurizer=feat, model=model)
-    _MATCHER_CACHE[key] = m
+    cache[key] = m
     return m
 
 

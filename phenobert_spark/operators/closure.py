@@ -83,6 +83,19 @@ def connected_components(
         if changed.isEmpty():
             return new_labels
         labels = new_labels
+    # Exiting via max_iters means labels may be UNCONVERGED: a
+    # long-diameter chain would get split into multiple "components",
+    # and a dedup job built on top would keep several "canonical" docs
+    # for one true cluster with no error signal. Warn loudly — callers
+    # with legitimately deep graphs should raise max_iters.
+    import warnings
+
+    warnings.warn(
+        f"connected_components hit max_iters={max_iters} without "
+        "converging; returned labels may split long-diameter components",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return labels
 
 

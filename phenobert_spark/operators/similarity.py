@@ -462,10 +462,14 @@ def quantize_embeddings(
     rescale is the usual serving path). One narrow JVM pass — array
     higher-order functions only, no UDF, no shuffle; every value
     (including the reconstruction-error audit column ``max_err``) is
-    re-derivable in plain SQL, which q105 does verbatim."""
+    re-derivable in plain SQL, which q105 does verbatim.
+
+    An all-zero vector would make ``scale`` 0 and every code NaN; the
+    ``greatest(absmax, 1e-30)`` floor (mirrored in the q105 oracle)
+    maps it to zero codes with zero error instead."""
     x = F.col(emb_col)
     absmax = F.array_max(F.transform(x, lambda v: F.abs(v)))
-    scale = absmax / F.lit(127.0)
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
     q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
     err = F.array_max(
         F.zip_with(

@@ -1848,12 +1848,14 @@ def q100(spark, sf_dir):
       FROM t
     )
     SELECT doc_id,
-           list_sort(list_filter(
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join
+           -- is '' — coalesce to match.
+           COALESCE(array_to_string(list_sort(list_filter(
              [CASE WHEN n < 5 THEN 'too_short' END,
               CASE WHEN n > 100000 THEN 'too_long' END,
               CASE WHEN ratio < 0.05 THEN 'low_stopword_ratio' END,
               CASE WHEN cpt > 20.0 THEN 'long_tokens' END],
-             x -> x IS NOT NULL)) AS drop_reasons,
+             x -> x IS NOT NULL)), ','), '') AS drop_reasons,
            (n >= 5 AND n <= 100000 AND ratio >= 0.05 AND cpt <= 20.0)
              AS keep
     FROM r ORDER BY doc_id
@@ -1862,12 +1864,23 @@ def q100(spark, sf_dir):
 def q101(spark, sf_dir):
     """Audit-friendly quality gating (operators/text.corpus_filter):
     every row gets keep + the sorted list of failed rules, re-derivable
-    verbatim in any SQL engine — the oracle recomputes both columns."""
+    verbatim in any SQL engine — the oracle recomputes both columns.
+
+    ``drop_reasons`` is serialized to a comma-joined STRING at the
+    contract boundary: the driver canonicalizer sorts raw columns with
+    pandas and cannot hash array cells (CORRECTNESS_r03 q101 crash).
+    The library operator keeps the typed array."""
     from ..operators.text import corpus_filter
 
     d = _t(spark, sf_dir, "documents")
-    return corpus_filter(d).select("doc_id", "drop_reasons", "keep").orderBy(
-        "doc_id"
+    return (
+        corpus_filter(d)
+        .select(
+            "doc_id",
+            F.array_join("drop_reasons", ",").alias("drop_reasons"),
+            "keep",
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1947,12 +1960,14 @@ def q104(spark, sf_dir):
     """
     WITH t AS (
       SELECT vec_id, embedding,
-             list_max(list_transform(embedding, v -> abs(v))) / 127.0 AS s
+             greatest(list_max(list_transform(embedding, v -> abs(v))),
+                      1e-30) / 127.0 AS s
       FROM embeddings
     )
     SELECT vec_id,
            ROUND(s, 6) AS scale,
-           list_transform(embedding, v -> CAST(round(v / s) AS INTEGER)) AS q,
+           array_to_string(list_transform(
+             embedding, v -> CAST(round(v / s) AS INTEGER)), ',') AS q,
            ROUND(list_max(list_transform(
              embedding, v -> abs(v - round(v / s) * s))), 6) AS max_err
     FROM t ORDER BY vec_id
@@ -1962,12 +1977,22 @@ def q105(spark, sf_dir):
     """Symmetric int8 embedding quantization
     (operators/similarity.quantize_embeddings): per-vector scale,
     int8 codes, and the reconstruction-error audit column — one narrow
-    JVM pass, every output value re-derived verbatim by the oracle."""
+    JVM pass, every output value re-derived verbatim by the oracle.
+
+    The code array is serialized to a comma-joined STRING at the
+    contract boundary (same driver-canonicalizer constraint as q101);
+    the library operator keeps ``q`` as ARRAY<INT>."""
     from ..operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).orderBy(
-        "vec_id"
-    )
+    out = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("q", lambda v: v.cast("string")), ",").alias(
+            "q"
+        ),
+        "max_err",
+    ).orderBy("vec_id")
 
 
 @register("q102_pack_sequences")

@@ -95,3 +95,27 @@ def test_pack_sequences_single_shuffle(spark):
     plan = _formatted_plan(spark, pack_sequences(df, capacity=64, n_buckets=4))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
     assert n_exchanges == 1, plan
+
+
+def test_contract_outputs_driver_canonicalizable(spark):
+    """No contract query may expose an array/map/struct output column:
+    the driver's correctness canonicalizer pandas-sorts raw columns and
+    dies on unhashable cells (CORRECTNESS_r03 q101 aborted the whole
+    run, taking q102-q105's evidence with it). Serialize nested values
+    at the contract boundary (array_join) — library operators keep the
+    typed columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from phenobert_spark.plans.contract_queries import QUERIES
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"nested output columns break the driver: {bad}"

@@ -73,14 +73,26 @@ def _spark_type_class(dt):
 
 
 def canon(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, round
-    floats, sort rows."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    """Order-insensitive canonical form, aligned with the DRIVER's
+    canonicalizer: build a pandas frame over the RAW column values,
+    sort columns by name, ``sort_values`` over all columns, then
+    stringify (floats rounded to 6).
+
+    The raw ``sort_values`` is the point: a query returning an
+    array/map column makes pandas raise ``unhashable type`` here
+    exactly as it does in the driver (CORRECTNESS_r03 q101) — the old
+    ``str(v)``-first canon masked that crash and let the local gate
+    pass a query the driver rejects."""
+    import pandas as pd
+
+    scols = sorted(cols)
+    df = pd.DataFrame(list(rows), columns=list(cols))[scols]
+    if len(df):
+        df = df.sort_values(by=scols, kind="mergesort")
     out = []
-    for row in rows:
+    for row in df.itertuples(index=False):
         vals = []
-        for i in idx:
-            v = row[i]
+        for v in row:
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
