@@ -384,6 +384,16 @@ class Ontology:
             )
         for a, b in subs + SEED_SUBSTITUTIONS:
             base.update(b)
+        # Prio-1/3 dictionary keys live in LEMMA space: their tokens
+        # are lemma folds of base-key (and B-side) tokens, and the
+        # candidate-side check probes ``lemma(t) in V`` — so V must
+        # contain the folds themselves ('was' -> 'wa', 'precipitate' ->
+        # 'cipitate' after prefix split), or a mention those rows alone
+        # match gets pruned (invariant pinned in
+        # tests/test_ontology.py::test_prune_vocab_covers_nondefault_syn_tiers).
+        from .functions.normalize import lemma as _lemma
+
+        base.update([_lemma(t) for t in list(base)])
         pv = PruneVocab(frozenset(base), frozenset(stems))
         cached[ck] = pv
         return pv

@@ -276,3 +276,38 @@ def test_prune_vocab_covers_derived_tiers():
     assert "auricular" in pv
     # substitution B-side tokens likewise
     assert "patch" in pv
+
+
+def test_prune_vocab_covers_nondefault_syn_tiers(spark):
+    """Overapproximation invariant behind the silent-tier-disable bug
+    class: for any CONFIGURED substitution thresholds, every token of
+    every dict_df key must pass the PruneVocab predicate — a key whose
+    tokens the pruner rejects can never be probed, so its tier is
+    disabled with no error signal (VERDICT r3 item 4)."""
+    import os
+
+    import pytest
+
+    from phenobert_spark.config import REFERENCE_ROOT
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "phenobert")):
+        pytest.skip("reference checkout not present")
+    onto = load_reference_ontology()
+    for mc, pmc in [(3, 3), (5, 5), (10, None)]:
+        pv = onto.prune_vocab(syn_min_count=mc, syn_phrase_min_count=pmc)
+        # prio 2 keys live in STEM space (probed via the candidate's
+        # stem_key, never token-by-token) — the invariant covers the
+        # verbatim/lemma-space tiers the pruner can actually disable.
+        keys = [
+            r.key
+            for r in onto.dict_df(
+                spark, syn_min_count=mc, syn_phrase_min_count=pmc
+            )
+            .filter("prio != 2")
+            .select("key")
+            .collect()
+        ]
+        missing = sorted(
+            {t for k in keys for t in k.split() if t not in pv}
+        )[:20]
+        assert not missing, f"cfg=({mc},{pmc}) prunable key tokens: {missing}"
