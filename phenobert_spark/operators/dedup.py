@@ -469,3 +469,125 @@ def cdc_chunks(
         )
         .filter(F.col("chunk_len") > 0)
     )
+
+
+def _token_ngrams(text_col: str, w: int):
+    """Per-row array of w-token n-gram STRINGS over whitespace tokens
+    (shorter docs get an empty array — Spark's ``sequence(1, 0)`` is
+    DESCENDING, so the length guard is load-bearing)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - w + 1),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    w: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring signal per document: for every doc,
+    how many of its w-token n-gram positions occur in >= ``min_docs``
+    DISTINCT documents — the corpus-level memorization/boilerplate
+    measure behind substring-level training-data dedup (flag/trim docs
+    whose dup_ratio is high instead of whole-doc near-dup matching).
+
+    Returns (doc_id, n_grams, n_dup, dup_ratio).
+
+    Plan: one (gram, doc) pre-aggregate (map-side combiner absorbs
+    within-doc repeats), one gram-keyed distinct-doc count, one join
+    back, one doc-keyed sum — every shuffle is keyed, nothing is
+    O(n^2). ``hash_grams=True`` replaces the gram string with xxhash64
+    on the wire (the 100-TB path: 8 bytes/gram instead of ~50, at the
+    cost of a ~2^-64 collision rate); the contract query keeps strings
+    so DuckDB re-derives values exactly (q106)."""
+    grams = _token_ngrams(text_col, int(w))
+    g = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.size(grams).alias("n_grams"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    if hash_grams:
+        g = g.withColumn("gram", F.xxhash64("gram"))
+    per_doc = g.groupBy("_doc").agg(F.max("n_grams").alias("n_grams"))
+    gd = (
+        g.filter(F.col("gram").isNotNull())
+        .groupBy("gram", "_doc")
+        .agg(F.count("*").alias("_k"))
+    )
+    dup = (
+        gd.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= int(min_docs))
+        .select("gram")
+    )
+    ndup = (
+        gd.join(dup, on="gram")
+        .groupBy("_doc")
+        .agg(F.sum("_k").cast("bigint").alias("n_dup"))
+    )
+    return (
+        per_doc.join(ndup, on="_doc", how="left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.round(
+                F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_dup", F.lit(0))
+                    / F.col("n_grams").cast("double")
+                ),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token n-gram, slide a
+    window of ``window`` consecutive hashes, keep each window's MINIMUM;
+    the distinct selected hashes are the document's fingerprint set.
+    Guarantees any shared run of >= k+window-1 tokens between two docs
+    shares at least one fingerprint, at ~2/(window+1) selection density
+    — the standard sub-document overlap sketch.
+
+    Returns (doc_id, fingerprint) distinct.
+
+    Plan: everything up to the final distinct is per-row array math
+    (whole-stage codegen, zero shuffle); the distinct is one keyed
+    exchange on (doc, fingerprint). md5-hex is the hash — identical
+    byte-for-byte in DuckDB, so q107 value-checks every fingerprint."""
+    grams = _token_ngrams(text_col, int(k))
+    hashes = F.transform(grams, F.md5)
+    win = int(window)
+    fps = F.when(
+        F.size(hashes) >= win,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes) - win + 1),
+            lambda i: F.array_min(F.slice(hashes, i, win)),
+        ),
+    ).otherwise(
+        # shorter docs fingerprint as the single global minimum so no
+        # document is unrepresented (matches the algorithm's intent)
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+        .distinct()
+    )

@@ -2012,3 +2012,90 @@ def q102(spark, sf_dir):
     return pack_sequences(d, capacity=256, n_buckets=4).orderBy(
         "bucket", "bin", "offset"
     )
+
+
+@register(
+    "q106_dup_ngram_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), tot AS (
+      SELECT doc_id, greatest(len(toks) - 7, 0) AS n_grams FROM t
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 6, 1))) AS i
+            FROM t)
+    ), gd AS (
+      SELECT gram, doc_id, COUNT(*) AS k FROM g GROUP BY gram, doc_id
+    ), dup AS (
+      SELECT gram FROM gd GROUP BY gram HAVING COUNT(*) >= 2
+    ), nd AS (
+      SELECT doc_id, SUM(k) AS n_dup
+      FROM gd JOIN dup USING (gram) GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           tot.n_grams::BIGINT AS n_grams,
+           COALESCE(nd.n_dup, 0)::BIGINT AS n_dup,
+           ROUND(CASE WHEN tot.n_grams = 0 THEN 0.0
+                      ELSE COALESCE(nd.n_dup, 0) / tot.n_grams::DOUBLE END,
+                 4) AS dup_ratio
+    FROM tot LEFT JOIN nd USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q106(spark, sf_dir):
+    """Duplicated w-token-gram positions per document
+    (operators/dedup.dup_ngram_stats, w=8): the substring-level
+    memorization/boilerplate signal behind training-data substring
+    dedup. Gram strings kept verbatim so the oracle re-derives every
+    count; the 100-TB path hashes them (hash_grams=True)."""
+    from ..operators.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"), w=8).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "q107_winnow_fingerprints",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 5
+                  THEN list_transform(
+                         range(1, len(toks) - 3),
+                         i -> md5(array_to_string(
+                                list_slice(toks, i, i + 4), ' ')))
+                  ELSE [] END AS hashes
+      FROM t
+    ), fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) >= 4
+                  THEN list_transform(
+                         range(1, len(hashes) - 2),
+                         i -> list_min(list_slice(hashes, i, i + 3)))
+                  WHEN len(hashes) > 0 THEN [list_min(hashes)]
+                  ELSE [] END AS fps
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM (SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+    ORDER BY doc_id, fingerprint
+    """,
+)
+def q107(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints,
+    k=5 window=4 — the MOSS sub-document overlap sketch): min-of-window
+    over md5 k-gram hashes, distinct per doc. md5-hex is identical in
+    both engines, so the oracle value-checks every fingerprint."""
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, window=4
+    ).orderBy("doc_id", "fingerprint")

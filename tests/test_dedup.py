@@ -285,3 +285,87 @@ def test_minhash_xxhash_family(spark):
     # family the collision is a pinned fact, not a coin flip
     assert (1, 3) in pairs
     assert (1, 4) not in pairs  # unrelated docs stay apart
+
+
+def test_dup_ngram_stats_flags_shared_run(spark):
+    """Docs sharing an 8-token run each get exactly that gram counted
+    duplicated; a unique doc gets zero; n_grams = len - w + 1."""
+    from phenobert_spark.operators.dedup import dup_ngram_stats
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"p q r {shared} s t u"),
+            (2, f"m n {shared} o"),
+            (3, "entirely different tokens with no overlap at all here ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_stats(docs, w=8).collect()}
+    assert out[1].n_grams == 14 - 8 + 1 and out[2].n_grams == 11 - 8 + 1
+    assert out[1].n_dup == 1 and out[2].n_dup == 1 and out[3].n_dup == 0
+    assert out[1].dup_ratio == round(1 / 7, 4)
+
+
+def test_dup_ngram_stats_hashed_matches_strings(spark):
+    """The 100-TB hash_grams path must agree with the exact string
+    path (collisions at 2^-64 are unobservable on test data)."""
+    from phenobert_spark.operators.dedup import dup_ngram_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, dup_ngram_stats(docs, w=8).collect()))
+    b = sorted(
+        map(tuple, dup_ngram_stats(docs, w=8, hash_grams=True).collect())
+    )
+    assert a == b
+
+
+def test_dup_ngram_stats_short_doc(spark):
+    from phenobert_spark.operators.dedup import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also short")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dup_ngram_stats(docs, w=8).collect()}
+    assert out[1].n_grams == 0 and out[1].n_dup == 0
+    assert out[1].dup_ratio == 0.0
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: any shared token run of >= k+window-1
+    (= 8) tokens yields at least one shared fingerprint; disjoint
+    token sets share none (fingerprints are md5 of literal grams)."""
+    from phenobert_spark.operators.dedup import winnow_fingerprints
+
+    shared = "v w x y z aa bb cc"  # 8 tokens = k + window - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"alpha beta {shared} gamma delta epsilon"),
+            (3, "totally disjoint vocabulary in this document right here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_docs(spark):
+    """<k tokens -> no fingerprints; k..k+window-2 tokens -> exactly
+    the single global-min fingerprint."""
+    from phenobert_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f")], "doc_id bigint, text string"
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1

@@ -119,3 +119,33 @@ def test_contract_outputs_driver_canonicalizable(spark):
         if nested:
             bad[name] = nested
     assert not bad, f"nested output columns break the driver: {bad}"
+
+
+def test_dup_ngram_stats_plan_no_cartesian(spark):
+    """Substring-dup stats must be keyed shuffles only: no cartesian
+    or nested-loop join anywhere (the all-pairs trap), and the
+    (gram, doc) pre-aggregate must exist so the wire never carries one
+    row per occurrence."""
+    from phenobert_spark.operators.dedup import dup_ngram_stats
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(10)], "doc_id bigint, text string"
+    )
+    plan = _formatted_plan(spark, dup_ngram_stats(df, w=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    """Winnowing is per-row array math + ONE keyed exchange (the
+    distinct); anything more means the narrow pipeline broke."""
+    import re
+
+    from phenobert_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(10)], "doc_id bigint, text string"
+    )
+    plan = _formatted_plan(spark, winnow_fingerprints(df))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
+    assert n_exchanges <= 1, plan
