@@ -2099,3 +2099,36 @@ def q107(spark, sf_dir):
     return winnow_fingerprints(
         _t(spark, sf_dir, "documents"), k=5, window=4
     ).orderBy("doc_id", "fingerprint")
+
+
+@register(
+    "q108_row_invariant_manifest",
+    r"""
+    SELECT doc_id,
+           sha256(text) AS content_sha,
+           length(text)::BIGINT AS n_chars,
+           len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+             AS n_tokens,
+           lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q108(spark, sf_dir):
+    """Per-row content-identity manifest — the BASELINE.json row
+    invariant ("per-row content sha256 equality") as a driver-checked
+    contract row: any engine disagreement on a single byte of any
+    document flips its sha and fails the value hash. One narrow
+    projection; at scale this is the lineage manifest column set the
+    materialize sink records per partition."""
+    from ..operators.text import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+        "lang",
+    ).orderBy("doc_id")
