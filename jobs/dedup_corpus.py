@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     from phenobert_spark.operators.closure import connected_components
     from phenobert_spark.operators.dedup import (
         jaccard_pairs_prefix,
-        lsh_candidate_pairs,
+        lsh_star_edges,
         minhash_signatures,
     )
 
@@ -50,12 +50,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     docs = spark.read.parquet(args.input)
 
     if args.method == "lsh":
-        pairs = lsh_candidate_pairs(minhash_signatures(docs))
+        # star-contracted edges: identical components to the
+        # within-bucket pair clique at O(n x bands) rows — LSH buckets
+        # of exact duplicates are exactly where the clique goes
+        # quadratic (see operators/dedup.lsh_star_edges)
+        edges = lsh_star_edges(minhash_signatures(docs))
     else:
-        pairs = jaccard_pairs_prefix(docs, threshold=args.threshold)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+        edges = jaccard_pairs_prefix(docs, threshold=args.threshold).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
 
     comp = connected_components(edges, nodes=docs.select("doc_id"))
     assignments = comp.select(

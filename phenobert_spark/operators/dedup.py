@@ -174,6 +174,46 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    signatures: DataFrame, bands: list[list[str]] | None = None
+) -> DataFrame:
+    """Star-contracted LSH edges for CLUSTERING: every doc is linked to
+    its band-bucket REPRESENTATIVE (the min doc_id in the bucket)
+    instead of to every bucket-mate.
+
+    A bucket of c docs produces c-1 edges, not c(c-1)/2 — same
+    connected components as the pair clique (every bucket-mate reaches
+    every other through the representative), so downstream
+    ``connected_components`` labels are identical, but the edge table
+    is O(n x bands) regardless of bucket skew. This is the 100-TB path
+    for dedup CLUSTERING (a crawl's exact-duplicate buckets hold
+    thousands of docs; the clique is quadratic in exactly those
+    buckets). Use :func:`lsh_candidate_pairs` only when the pairs
+    themselves are the product (e.g. to verify Jaccard per pair).
+
+    Plan: one window-min per band over the bucket key + a filter — one
+    shuffle per band, no self-join at all.
+    """
+    from pyspark.sql import Window
+
+    sig_cols = [c for c in signatures.columns if c.startswith("mh")]
+    if bands is None:
+        half = max(len(sig_cols) // 2, 1)
+        bands = [sig_cols[:half], sig_cols[half:] or sig_cols[:half]]
+    sig = signatures.localCheckpoint(eager=False)  # don't re-derive per branch
+    banded = None
+    for cols in bands:
+        b = sig.select("doc_id", F.md5(F.concat(*cols)).alias("band"))
+        banded = b if banded is None else banded.unionByName(b)
+    rep = F.min("doc_id").over(Window.partitionBy("band"))
+    return (
+        banded.select("doc_id", rep.alias("rep"))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

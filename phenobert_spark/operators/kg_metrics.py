@@ -1,0 +1,147 @@
+"""Ontology-DAG corpus metrics: information content (IC) and
+MICA-based concept similarity (Resnik / Lin).
+
+The reference scores predictions with DAG-aware set similarity over
+the HPO hierarchy (reference ``evaluate.py`` uses ontology structure
+to credit near-miss concepts); the corpus-frequency information-
+content family (Resnik 1995, Lin 1998) is the standard generalization
+a knowledge graph built at corpus scale actually serves: IC weights a
+concept by how RARE it is in the annotated corpus, and concept-pair
+similarity is the IC of the most informative common ancestor (MICA).
+
+Scale shape (100 TB): the ontology closure is dim-table sized (HPO:
+~19k concepts x ~15 mean ancestors) and is broadcast; the annotation
+table is the corpus-sized side and is touched exactly once with a
+narrow equi-join. Every aggregate runs keyed on the CONCEPT key
+space, which is bounded by the ontology, not the corpus, so the
+post-join reductions are skew-free and combiner-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def closure_with_self(closure: DataFrame, node: str = "node", anc: str = "anc") -> DataFrame:
+    """Add identity pairs (c, c) to a proper-ancestor closure so that
+    'annotated at-or-below c' includes annotations at c itself and a
+    concept is its own candidate MICA."""
+    nodes = (
+        closure.select(F.col(node))
+        .unionByName(closure.select(F.col(anc).alias(node)))
+        .distinct()
+    )
+    return closure.select(node, anc).unionByName(
+        nodes.select(F.col(node), F.col(node).alias(anc))
+    )
+
+
+def concept_information_content(
+    annotations: DataFrame,
+    closure: DataFrame,
+    doc_col: str = "doc_id",
+    concept_col: str = "concept",
+    node_col: str = "node",
+    anc_col: str = "anc",
+) -> DataFrame:
+    """IC(c) = -ln(|docs annotated at c or any descendant| / |docs|)
+    over a (doc, concept) annotation table and an ancestor closure
+    that INCLUDES self-pairs (see :func:`closure_with_self`).
+
+    Returns (concept, n_docs, ic) for every concept with >= 1
+    annotated descendant (IC of an unannotated concept is undefined —
+    ln 0 — and is omitted rather than fabricated).
+
+    Plan: broadcast the ontology-sized closure onto the corpus-sized
+    annotation table (narrow after the join), then ONE wide pass: a
+    (doc, anc) distinct + concept-keyed count, with map-side partial
+    aggregation absorbing the per-document ancestor fan-out. The
+    corpus total rides along as a broadcast 1-row aggregate — no
+    driver collect, the whole metric is one lazy plan.
+    """
+    doc_anc = (
+        annotations.select(F.col(doc_col).alias("_doc"), F.col(concept_col).alias("_c"))
+        .join(
+            F.broadcast(
+                closure.select(
+                    F.col(node_col).alias("_c"), F.col(anc_col).alias("_anc")
+                )
+            ),
+            on="_c",
+        )
+        .select("_doc", "_anc")
+        .distinct()
+    )
+    total = (
+        annotations.select(F.col(doc_col).alias("_doc"))
+        .distinct()
+        .agg(F.count("*").alias("_n_total"))
+    )
+    return (
+        doc_anc.groupBy(F.col("_anc").alias("concept"))
+        .agg(F.countDistinct("_doc").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "concept",
+            "n_docs",
+            (-F.log(F.col("n_docs").cast("double") / F.col("_n_total"))).alias("ic"),
+        )
+    )
+
+
+def mica_similarity(
+    pairs: DataFrame,
+    closure: DataFrame,
+    ic: DataFrame,
+    c1: str = "c1",
+    c2: str = "c2",
+    node_col: str = "node",
+    anc_col: str = "anc",
+) -> DataFrame:
+    """Resnik / Lin similarity for explicit concept pairs:
+    ``resnik(c1,c2) = IC(MICA)`` where MICA is the common ancestor
+    (closure must include self-pairs) with maximal IC, tie-broken by
+    ascending ancestor id; ``lin = 2*IC(MICA) / (IC(c1)+IC(c2))``
+    (NULL when both ICs are 0, i.e. both concepts cover the corpus).
+
+    Returns (c1, c2, mica, resnik, lin).
+
+    Plan: closure and ic are ontology-sized — broadcast both; the
+    pairs side (the potentially huge one: every candidate concept
+    pair a linker or dedup stage asks about) is joined narrowly and
+    reduced with one window argmax keyed on the pair itself, so
+    the shuffle key space is exactly the request set.
+    """
+    cl = F.broadcast(closure.select(node_col, anc_col))
+    icb = F.broadcast(ic.select("concept", "ic"))
+    common = (
+        pairs.select(c1, c2)
+        .join(cl.withColumnRenamed(node_col, c1).withColumnRenamed(anc_col, "_a1"), on=c1)
+        .join(
+            cl.withColumnRenamed(node_col, c2).withColumnRenamed(anc_col, "_a2"),
+            on=c2,
+        )
+        .filter(F.col("_a1") == F.col("_a2"))
+        .join(icb.withColumnRenamed("concept", "_a1"), on="_a1")
+    )
+    w = Window.partitionBy(c1, c2).orderBy(F.col("ic").desc(), F.col("_a1").asc())
+    best = (
+        common.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(c1, c2, F.col("_a1").alias("mica"), F.col("ic").alias("resnik"))
+    )
+    ic1 = icb.withColumnRenamed("concept", c1).withColumnRenamed("ic", "_ic1")
+    ic2 = icb.withColumnRenamed("concept", c2).withColumnRenamed("ic", "_ic2")
+    denom = F.col("_ic1") + F.col("_ic2")
+    return (
+        best.join(ic1, on=c1)
+        .join(ic2, on=c2)
+        .select(
+            c1,
+            c2,
+            "mica",
+            "resnik",
+            F.when(denom != 0, 2 * F.col("resnik") / denom).alias("lin"),
+        )
+    )

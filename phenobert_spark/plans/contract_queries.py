@@ -2132,3 +2132,149 @@ def q108(spark, sf_dir):
         ),
         "lang",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# KG corpus metrics: information content + MICA similarity (kg_metrics.py)
+# ---------------------------------------------------------------------------
+
+_TAXONOMY_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT 'N' || n_nationkey AS child, 'R' || n_regionkey AS parent FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), closure AS (
+      SELECT child AS node, parent AS anc FROM edges
+      UNION
+      SELECT c.node, e.parent FROM closure c JOIN edges e ON c.anc = e.child
+    ), closure_self AS (
+      SELECT node, anc FROM closure
+      UNION
+      SELECT n.node, n.node FROM (
+        SELECT child AS node FROM edges UNION SELECT parent FROM edges
+      ) n
+    ), ann AS (
+      SELECT DISTINCT l_orderkey AS doc, 'S' || l_suppkey AS concept FROM lineitem
+    ), doc_anc AS (
+      SELECT DISTINCT a.doc, c.anc FROM ann a JOIN closure_self c ON a.concept = c.node
+    ), total AS (SELECT COUNT(DISTINCT doc) AS n FROM ann
+    ), ic AS (
+      SELECT anc AS concept, COUNT(DISTINCT doc) AS n_docs,
+             -ln(COUNT(DISTINCT doc)::DOUBLE / (SELECT n FROM total)) AS ic
+      FROM doc_anc GROUP BY anc
+    )
+"""
+
+
+def _taxonomy_and_annotations(spark, sf_dir):
+    """The q08 supplier->nation->region taxonomy as (closure-with-self,
+    annotations): lineitem rows annotate their order (the 'document')
+    with the leaf supplier concept."""
+    from ..operators.closure import transitive_closure
+    from ..operators.kg_metrics import closure_with_self
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("child"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("parent"),
+        )
+    )
+    closure = closure_with_self(transitive_closure(edges))
+    ann = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("concept"),
+    )
+    return closure, ann
+
+
+@register(
+    "q109_concept_ic",
+    _TAXONOMY_SQL
+    + """
+    SELECT concept, n_docs, ROUND(ic, 6) AS ic FROM ic ORDER BY concept
+    """,
+)
+def q109(spark, sf_dir):
+    """Corpus information content per ontology concept
+    (operators/kg_metrics.concept_information_content): IC(c) =
+    -ln(docs annotated at-or-below c / total docs). Broadcast the
+    dim-sized closure onto the corpus-sized annotation table; all
+    aggregation keyed on the ontology-bounded concept space."""
+    from ..operators.kg_metrics import concept_information_content
+
+    closure, ann = _taxonomy_and_annotations(spark, sf_dir)
+    ic = concept_information_content(ann, closure)
+    return ic.select(
+        "concept", "n_docs", F.round("ic", 6).alias("ic")
+    ).orderBy("concept")
+
+
+@register(
+    "q110_resnik_mica",
+    _TAXONOMY_SQL
+    + """
+    , pairs AS (
+      SELECT 'S' || a.s_suppkey AS c1, 'S' || b.s_suppkey AS c2
+      FROM supplier a
+      JOIN nation na ON a.s_nationkey = na.n_nationkey
+      JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      JOIN nation nb ON b.s_nationkey = nb.n_nationkey
+      WHERE na.n_regionkey = nb.n_regionkey
+    ), common AS (
+      SELECT p.c1, p.c2, ca.anc, i.ic
+      FROM pairs p
+      JOIN closure_self ca ON ca.node = p.c1
+      JOIN closure_self cb ON cb.node = p.c2 AND cb.anc = ca.anc
+      JOIN ic i ON i.concept = ca.anc
+    ), best AS (
+      SELECT c1, c2, anc AS mica, ic AS resnik,
+             ROW_NUMBER() OVER (PARTITION BY c1, c2
+                                ORDER BY ic DESC, anc ASC) AS rn
+      FROM common
+    )
+    SELECT b.c1, b.c2, b.mica, ROUND(b.resnik, 6) AS resnik,
+           ROUND(2 * b.resnik / NULLIF(i1.ic + i2.ic, 0), 6) AS lin
+    FROM best b
+    JOIN ic i1 ON i1.concept = b.c1
+    JOIN ic i2 ON i2.concept = b.c2
+    WHERE b.rn = 1 ORDER BY b.c1, b.c2
+    """,
+)
+def q110(spark, sf_dir):
+    """Resnik + Lin concept-pair similarity via the most informative
+    common ancestor (operators/kg_metrics.mica_similarity) for every
+    same-region supplier pair: same-nation pairs resolve their MICA at
+    the nation, cross-nation pairs at the region — exercising the
+    IC argmax over the shared-ancestor set. Closure and IC broadcast;
+    the pair side is the only shuffled key space."""
+    from ..operators.kg_metrics import (
+        concept_information_content,
+        mica_similarity,
+    )
+
+    closure, ann = _taxonomy_and_annotations(spark, sf_dir)
+    ic = concept_information_content(ann, closure)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(n, s.s_nationkey == n.n_nationkey).select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("c"),
+        F.col("s_suppkey").alias("k"),
+        F.col("n_regionkey").alias("r"),
+    )
+    a, b = sn.alias("a"), sn.alias("b")
+    pairs = a.join(
+        b, (F.col("a.r") == F.col("b.r")) & (F.col("a.k") < F.col("b.k"))
+    ).select(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
+    out = mica_similarity(pairs, closure, ic)
+    return out.select(
+        "c1",
+        "c2",
+        "mica",
+        F.round("resnik", 6).alias("resnik"),
+        F.round("lin", 6).alias("lin"),
+    ).orderBy("c1", "c2")

@@ -9,6 +9,7 @@ from phenobert_spark.operators.dedup import (
     jaccard_pairs,
     jaccard_pairs_prefix,
     lsh_candidate_pairs,
+    lsh_star_edges,
     minhash_signatures,
     simhash,
 )
@@ -369,3 +370,63 @@ def test_winnow_short_docs(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert 1 not in by_doc
     assert len(by_doc[2]) == 1
+
+
+def _driver_components(node_ids, edge_rows):
+    """Driver-side union-find oracle: {(node, min-id component label)}."""
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {(n, find(n)) for n in parent}
+
+
+def test_lsh_star_edges_same_components_as_pair_clique(spark):
+    """lsh_star_edges is the clustering-scale twin of
+    lsh_candidate_pairs: O(n x bands) edges, IDENTICAL connected
+    components. Checked on a corpus with a fat exact-dup bucket (where
+    the clique goes quadratic), a near-dup pair, and singletons."""
+    from phenobert_spark.operators.closure import connected_components
+
+    rows = [(i, "mass duplicated crawl page boilerplate text") for i in range(1, 9)]
+    rows += [
+        (20, "the quick brown fox jumps over the lazy dog"),
+        (21, "the quick brown fox jumps over the lazy dog"),
+        (30, "a singleton document with entirely private words"),
+        (31, "another loner nothing shared with anyone else at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = minhash_signatures(d)
+    nodes = [r.doc_id for r in d.select("doc_id").collect()]
+
+    clique = _driver_components(
+        nodes,
+        [(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig).collect()],
+    )
+    star_edges = lsh_star_edges(sig)
+    star = _driver_components(
+        nodes, [(r.src, r.dst) for r in star_edges.collect()]
+    )
+    assert star == clique
+
+    # distributed components over the star edges agree too
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            star_edges, nodes=d.select("doc_id")
+        ).collect()
+    }
+    assert got == clique
+
+    # star contraction: the 8-doc exact-dup bucket contributes c-1=7
+    # edges per band, never the clique's c(c-1)/2=28
+    fat = [r for r in star_edges.collect() if r.src in range(1, 9)]
+    assert len(fat) == 7

@@ -1,0 +1,115 @@
+"""Ontology IC + MICA similarity (operators/kg_metrics.py) against
+hand-computed values on a tiny DAG."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from phenobert_spark.operators.closure import transitive_closure
+from phenobert_spark.operators.kg_metrics import (
+    closure_with_self,
+    concept_information_content,
+    mica_similarity,
+)
+
+#        root
+#        /  \
+#       a    b
+#      / \    \
+#     c   d    e
+EDGES = [("a", "root"), ("b", "root"), ("c", "a"), ("d", "a"), ("e", "b")]
+# doc -> leaf concept annotations
+ANN = [(1, "c"), (2, "c"), (3, "d"), (4, "e"), (4, "c")]
+
+
+@pytest.fixture(scope="module")
+def dag(spark):
+    edges = spark.createDataFrame(EDGES, "child string, parent string")
+    closure = closure_with_self(transitive_closure(edges))
+    ann = spark.createDataFrame(ANN, "doc_id int, concept string")
+    return closure, ann
+
+
+def test_closure_with_self_has_identity_pairs(spark, dag):
+    closure, _ = dag
+    rows = {(r.node, r.anc) for r in closure.collect()}
+    for n in ["root", "a", "b", "c", "d", "e"]:
+        assert (n, n) in rows
+    assert ("c", "root") in rows and ("e", "b") in rows
+    assert ("c", "b") not in rows
+
+
+def test_concept_ic_hand_computed(spark, dag):
+    closure, ann = dag
+    got = {
+        r.concept: (r.n_docs, r.ic)
+        for r in concept_information_content(ann, closure).collect()
+    }
+    # 4 docs total; docs at-or-below: c:{1,2,4} d:{3} e:{4} a:{1,2,3,4}
+    # b:{4} root:{1,2,3,4}
+    want = {"c": 3, "d": 1, "e": 1, "a": 4, "b": 1, "root": 4}
+    assert {k: v[0] for k, v in got.items()} == want
+    for k, n in want.items():
+        assert got[k][1] == pytest.approx(-math.log(n / 4), abs=1e-12)
+    # root/a cover the corpus -> IC exactly 0
+    assert got["root"][1] == 0.0
+
+
+def test_mica_similarity_hand_computed(spark, dag):
+    closure, ann = dag
+    ic = concept_information_content(ann, closure)
+    pairs = spark.createDataFrame(
+        [("c", "d"), ("c", "e"), ("d", "e"), ("a", "c")], "c1 string, c2 string"
+    )
+    got = {
+        (r.c1, r.c2): (r.mica, r.resnik, r.lin)
+        for r in mica_similarity(pairs, closure, ic).collect()
+    }
+    ln2, ln43 = math.log(2), math.log(4 / 3)
+    # (c,d): common ancestors {a, root}, both IC 0 -> tie broken by
+    # ascending id -> mica 'a', resnik 0, lin = 0/(ln(4/3)+ln4) = 0
+    assert got[("c", "d")][0] == "a"
+    assert got[("c", "d")][1] == 0.0
+    assert got[("c", "d")][2] == 0.0
+    # (c,e): only common ancestor root -> resnik 0
+    assert got[("c", "e")][0] == "root"
+    # (a,c): MICA is 'a' itself (self-pair in closure), IC(a)=0;
+    # lin = 0 / (0 + IC(c)) = 0, denominator nonzero
+    assert got[("a", "c")][0] == "a"
+    assert got[("a", "c")][2] == 0.0
+    # (d,e): root only; lin = 0/(ln4+ln4) = 0
+    assert got[("d", "e")] == ("root", 0.0, 0.0)
+
+
+def test_mica_lin_null_when_both_ics_zero(spark):
+    """Degenerate pair (root, a) when both cover the corpus: lin is
+    NULL (0/0), not a crash or a fabricated 1.0."""
+    edges = spark.createDataFrame([("a", "root")], "child string, parent string")
+    closure = closure_with_self(transitive_closure(edges))
+    ann = spark.createDataFrame([(1, "a")], "doc_id int, concept string")
+    ic = concept_information_content(ann, closure)
+    pairs = spark.createDataFrame([("a", "root")], "c1 string, c2 string")
+    [r] = mica_similarity(pairs, closure, ic).collect()
+    assert r.resnik == 0.0 and r.lin is None
+
+
+def test_mica_interesting_resnik_value(spark, dag):
+    """A pair whose MICA is a non-root internal node with nonzero IC:
+    annotate so that 'b' subtree is rare."""
+    closure, _ = dag
+    ann = spark.createDataFrame(
+        [(1, "c"), (2, "d"), (3, "e"), (4, "e"), (5, "b")],
+        "doc_id int, concept string",
+    )
+    ic = concept_information_content(ann, closure)
+    pairs = spark.createDataFrame([("b", "e")], "c1 string, c2 string")
+    [r] = mica_similarity(pairs, closure, ic).collect()
+    # docs at-or-below b = {3,4,5} of 5 -> IC(b) = -ln(3/5)
+    import math as m
+
+    assert r.mica == "b"
+    assert r.resnik == pytest.approx(-m.log(3 / 5), abs=1e-12)
+    # lin = 2*IC(b) / (IC(b) + IC(e)); IC(e) = -ln(2/5)
+    want_lin = 2 * -m.log(3 / 5) / (-m.log(3 / 5) + -m.log(2 / 5))
+    assert r.lin == pytest.approx(want_lin, abs=1e-12)
