@@ -482,3 +482,70 @@ def quantize_embeddings(
         q.alias("q"),
         F.round(err, round_to).alias("max_err"),
     )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Serving-path ANN: cosine top-k computed ON int8-quantized codes
+    (:func:`quantize_embeddings`) — (qid, nid, cos) with cos rounded.
+
+    Per-vector symmetric scales CANCEL in cosine, so the quantized
+    cosine needs no dequantization at all: three INTEGER dot products
+    per pair (exact in int64 up to ~5.7e14-dim vectors at |q|<=127)
+    and one float division at the end. That makes the whole scorer
+    bit-reproducible across engines — the q111 oracle re-derives it in
+    plain SQL — unlike float-accumulation cosine, where summation
+    order matters. Storage is 4x smaller than float32; the ranking
+    differs from exact cosine only by quantization error (max_err is
+    audited by quantize_embeddings/q105).
+
+    Plan shape: quantize both sides (narrow), broadcast the query
+    codes, one crossJoin + JVM-side zip_with/aggregate, window top-k
+    partial per partition then global — identical skeleton to the
+    float brute-force (q19), so IVF bucketing composes in front of it
+    unchanged for the 100-TB path.
+    """
+    base = quantize_embeddings(embeddings, id_col=id_col, emb_col=emb_col)
+    qs = quantize_embeddings(queries, id_col=id_col, emb_col=emb_col).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(base.select(F.col("vec_id").alias("nid"), "q"))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            # try_divide: an all-zero vector (zero codes, zero norm)
+            # yields NULL cos instead of an ANSI divide-by-zero error;
+            # the q111 oracle mirrors this with NULLIF on the norm
+            F.round(
+                F.try_divide(
+                    idot(F.col("qq"), F.col("q")).cast("double"),
+                    F.sqrt(idot(F.col("qq"), F.col("qq")).cast("double"))
+                    * F.sqrt(idot(F.col("q"), F.col("q")).cast("double")),
+                ),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

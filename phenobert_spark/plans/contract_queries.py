@@ -2278,3 +2278,45 @@ def q110(spark, sf_dir):
         F.round("resnik", 6).alias("resnik"),
         F.round("lin", 6).alias("lin"),
     ).orderBy("c1", "c2")
+
+
+_IDOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::BIGINT * x[2]::BIGINT))"
+
+
+@register(
+    "q111_quantized_topk",
+    f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(round(
+               v / (greatest(list_max(list_transform(embedding, x -> abs(x))),
+                             1e-30) / 127.0)) AS INTEGER)) AS q
+      FROM embeddings
+    ), qs AS (SELECT vec_id AS qid, q AS qq FROM codes WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.qid, c.vec_id AS nid,
+             ROUND({_IDOT_SQL.format(a='qs.qq', b='c.q')}::DOUBLE
+               / NULLIF(sqrt({_IDOT_SQL.format(a='qs.qq', b='qs.qq')}::DOUBLE)
+                  * sqrt({_IDOT_SQL.format(a='c.q', b='c.q')}::DOUBLE), 0), 4)
+             AS cos
+      FROM qs, codes c WHERE c.vec_id != qs.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3 ORDER BY qid, cos DESC, nid
+    """,
+)
+def q111(spark, sf_dir):
+    """Cosine top-k ANN over int8-QUANTIZED codes
+    (operators/similarity.quantized_cosine_topk): per-vector scales
+    cancel in cosine, so scoring is three integer dot products per
+    pair — bit-reproducible across engines, which is exactly why this
+    serving path admits an EXACT oracle while float-accumulated cosine
+    (q19) needs rounding slack. Same broadcast + window-top-k skeleton
+    as q19; storage 4x smaller."""
+    from ..operators.similarity import quantized_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = quantized_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    return out.orderBy("qid", F.col("cos").desc(), "nid")

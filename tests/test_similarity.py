@@ -206,3 +206,60 @@ def test_quantize_embeddings_roundtrip(spark):
         err = np.abs(x - q * scale).max()
         assert err <= scale / 2 + 1e-12
         assert abs(r.max_err - err) < 1e-5  # audit column is honest
+
+
+def test_quantized_topk_tracks_float_ranking(spark):
+    """Quantized cosine top-k == float brute-force top-k on real
+    embeddings up to quantization error: top-1 neighbor agrees for
+    every query, and quantized cos is within 2*sum(max_err-ish) of the
+    float cos. Also an identical vector scores cos 1.0 exactly."""
+    import numpy as np
+
+    from phenobert_spark.operators.similarity import quantized_cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    got = quantized_cosine_topk(e, queries, k=3).collect()
+    assert {r.qid for r in got} == {0, 1, 2, 3, 4}
+    assert all(len([r for r in got if r.qid == q]) == 3 for q in range(5))
+
+    src = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+
+    def fcos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q in range(5):
+        top = sorted(
+            ((fcos(src[q], src[n]), -n) for n in src if n != q), reverse=True
+        )
+        float_best = -top[0][1]
+        quant_best = next(
+            r.nid for r in got if r.qid == q and r.cos == max(
+                x.cos for x in got if x.qid == q
+            )
+        )
+        assert quant_best == float_best
+        for r in got:
+            if r.qid == q:
+                assert abs(r.cos - fcos(src[q], src[r.nid])) < 0.02
+
+
+def test_quantized_topk_identical_vector_scores_one(spark):
+    from phenobert_spark.operators.similarity import quantized_cosine_topk
+
+    rows = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, [1.0, 2.0, -3.0, 0.5]),   # exact copy of 0
+        (2, [-1.0, 0.0, 3.0, 2.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),    # all-zero: guarded scale
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        (r.qid, r.nid): r.cos
+        for r in quantized_cosine_topk(e, e.filter("vec_id = 0"), k=2).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    # the all-zero vector has zero codes -> 0/0 cos is NaN or null,
+    # never a crash; it must not rank above a real neighbor
+    best_two = sorted(got.items(), key=lambda kv: -(kv[1] or -2))
+    assert best_two[0][0] == (0, 1)
