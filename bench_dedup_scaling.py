@@ -29,7 +29,7 @@ WORKER = r"""
 import json, os, sys, time
 from pyspark.sql import functions as F
 from phenobert_spark.config import get_spark
-from phenobert_spark.operators.closure import connected_components
+from phenobert_spark.operators.closure import star_components
 from phenobert_spark.operators.dedup import lsh_star_edges, minhash_signatures
 
 cores, sf_dir, amp, n_runs = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
@@ -51,7 +51,7 @@ n_docs = docs.count()
 def once():
     t0 = time.time()
     edges = lsh_star_edges(minhash_signatures(docs))
-    comp = connected_components(edges, nodes=docs.select("doc_id"))
+    comp = star_components(edges, nodes=docs.select("doc_id"))
     canon = comp.filter("component = node").select(F.col("node").alias("doc_id"))
     survivors = docs.join(canon, on="doc_id", how="left_semi").count()
     return time.time() - t0, survivors

@@ -37,7 +37,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     args = p.parse_args(argv)
 
     from phenobert_spark.config import get_spark
-    from phenobert_spark.operators.closure import connected_components
+    from phenobert_spark.operators.closure import (
+        connected_components,
+        star_components,
+    )
     from phenobert_spark.operators.dedup import (
         jaccard_pairs_prefix,
         lsh_star_edges,
@@ -55,12 +58,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # of exact duplicates are exactly where the clique goes
         # quadratic (see operators/dedup.lsh_star_edges)
         edges = lsh_star_edges(minhash_signatures(docs))
+        # two-level components: iterate on the bucket-rep graph
+        # (bounded by #buckets), join labels back onto the corpus —
+        # label-identical to connected_components (pinned by test)
+        comp = star_components(edges, nodes=docs.select("doc_id"))
     else:
         edges = jaccard_pairs_prefix(docs, threshold=args.threshold).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-
-    comp = connected_components(edges, nodes=docs.select("doc_id"))
+        comp = connected_components(edges, nodes=docs.select("doc_id"))
     assignments = comp.select(
         F.col("node").alias("doc_id"),
         "component",

@@ -148,3 +148,84 @@ def transitive_closure(
         closure = closure.unionByName(new).distinct()
         frontier = new
     return closure
+
+
+def star_components(
+    star_edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Two-level connected components specialized for star-contracted
+    edge tables (``dedup.lsh_star_edges``: every edge is rep -> doc).
+
+    The iterative label propagation of :func:`connected_components`
+    touches the full corpus-sized edge table EVERY round — at 1.28M
+    docs that loop dominated the e2e dedup wall clock and capped its
+    core-scaling. Here the iteration runs on the REP graph instead:
+
+    1. per doc, link its reps to the doc's min rep (one window over
+       the corpus — a bucket of c docs never materializes c^2 rows),
+    2. label-propagate on the rep graph only — bounded by the number
+       of distinct LSH buckets, typically ~#unique contents, not
+       corpus size,
+    3. join rep labels back onto docs (one corpus-sized equi-join).
+
+    Labels are IDENTICAL to connected_components on the same edges
+    (pinned by test): two reps are connected in the rep graph iff
+    connected through shared docs in the star graph, and a cluster's
+    global-min doc is itself the rep of every bucket containing it,
+    so the rep-graph minimum IS the doc-graph minimum.
+
+    ``nodes``: optional singleton universe, as in connected_components.
+    """
+    e = star_edges.select(F.col(src).alias("_r"), F.col(dst).alias("_d"))
+    e = e.localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_d")
+    dm = e.select("_d", "_r", F.min("_r").over(w).alias("_m"))
+    reps = e.select(F.col("_r").alias("node")).distinct()
+    # reps sharing a doc connect through the doc's min rep; AND a doc
+    # that is itself a rep (of another bucket) carries its own rep-hood
+    # into the graph — without the second edge set, a chain
+    # repA -> doc -> doc's-own-bucket would split (caught by the
+    # randomized parity test)
+    shared = dm.filter(F.col("_r") != F.col("_m")).select(
+        F.col("_m").alias("src"), F.col("_r").alias("dst")
+    )
+    self_rep = (
+        dm.select("_d", "_m")
+        .distinct()
+        .join(reps.withColumnRenamed("node", "_d"), on="_d", how="left_semi")
+        .select(
+            F.least("_m", "_d").alias("src"),
+            F.greatest("_m", "_d").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    rep_edges = shared.unionByName(self_rep).distinct()
+    rep_labels = connected_components(rep_edges, nodes=reps, max_iters=max_iters)
+    doc_labels = (
+        dm.select(F.col("_d").alias("node"), F.col("_m").alias("_rep"))
+        .distinct()
+        .join(rep_labels.withColumnRenamed("node", "_rep"), on="_rep")
+        .select("node", "component")
+    )
+    # a doc can be a rep of one bucket and a plain member of another;
+    # both paths yield the same (connected) component — min() dedupes
+    labels = (
+        rep_labels.unionByName(doc_labels)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    if nodes is not None:
+        node_col = nodes.columns[0]
+        singles = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(labels, on="node", how="left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        labels = labels.unionByName(singles)
+    return labels

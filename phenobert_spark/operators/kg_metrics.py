@@ -145,3 +145,61 @@ def mica_similarity(
             F.when(denom != 0, 2 * F.col("resnik") / denom).alias("lin"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table:
+    rank_{i+1}(v) = (1-d)/N + d * sum over in-neighbors u of
+    rank_i(u)/out_deg(u). Returns (node, rank) after exactly ``iters``
+    iterations from the uniform start — FIXED iteration count, not
+    convergence-gated, so the result is a deterministic function of
+    the graph and both engines of the q113 contract can unroll the
+    same arithmetic. Dangling-node mass (out_deg 0) is dropped, the
+    common simplification; document it if ranks must sum to 1.
+
+    Plan per iteration: one equi-join of the rank vector onto the
+    edge table (rank side is node-keyed, edge side pre-joined with
+    out-degree once, outside the loop) + one dst-keyed aggregate,
+    then a left join back onto the node set for no-in-edge nodes.
+    ``localCheckpoint`` flattens lineage per round, same as
+    :func:`~phenobert_spark.operators.closure.connected_components`.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = F.broadcast(nodes.agg(F.count("*").cast("double").alias("_n")))
+    deg = e.groupBy("_s").agg(F.count("*").cast("double").alias("_od"))
+    ed = e.join(deg, on="_s").localCheckpoint(eager=True)  # (src, dst, out_deg)
+
+    rank = nodes.crossJoin(n_total).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ed.join(rank.withColumnRenamed("node", "_s"), on="_s")
+            .groupBy(F.col("_t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_od")).alias("_in"))
+        )
+        rank = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(n_total)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank

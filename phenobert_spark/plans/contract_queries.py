@@ -2320,3 +2320,124 @@ def q111(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = quantized_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3)
     return out.orderBy("qid", F.col("cos").desc(), "nid")
+
+
+@register(
+    "q112_tfidf_neardup",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*)::DOUBLE AS df FROM tf GROUP BY token
+    ), total AS (
+      SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM documents
+    ), w AS (
+      SELECT t.doc_id, t.token, t.tf * ln((SELECT n FROM total) / d.df) AS w
+      FROM tf t JOIN dfreq d USING (token)
+    ), nrm AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id
+    ), v AS (
+      SELECT w.doc_id, w.token, w.w / nrm.nm AS w
+      FROM w JOIN nrm USING (doc_id) WHERE nrm.nm > 0
+    ), keep AS (
+      SELECT token FROM dfreq WHERE df <= (SELECT n FROM total) * 0.5
+    ), scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(SUM(a.w * b.w), 4) AS cos
+      FROM v a
+      JOIN keep k ON a.token = k.token
+      JOIN v b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, cos FROM scored WHERE cos >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q112(spark, sf_dir):
+    """Sparse tf-idf near-duplicate detection
+    (operators/text.tfidf_vectors + sparse_cosine_pairs): document
+    cosine via the inverted-token-index join — a pair is materialized
+    only when the docs SHARE a sub-stopword-frequency token, never an
+    all-pairs product. The weighted complement to the set-Jaccard
+    PPJoin path (q35); threshold applied to the rounded score so both
+    engines cut identically."""
+    from ..operators.text import sparse_cosine_pairs, tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    vec = tfidf_vectors(d)
+    pairs = sparse_cosine_pairs(vec, threshold=0.0, max_df_ratio=0.5)
+    return (
+        pairs.select(
+            "doc_a", "doc_b", F.round("cos", 4).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank: recursive CTEs cannot
+    aggregate over the recursive term (SQL restriction), so each
+    iteration is its own chained CTE. Constants are written as the
+    same IEEE expressions Spark evaluates ((1 - 0.85), 0.85) so both
+    engines use bit-identical doubles."""
+    head = """
+    WITH edges AS (
+      SELECT 'N' || n_nationkey AS src, 'R' || n_regionkey AS dst FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), total AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes
+    ), deg AS (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY src
+    ), ed AS (SELECT e.src, e.dst, d.od FROM edges e JOIN deg d USING (src)
+    ), r0 AS (SELECT node, 1.0 / (SELECT n FROM total) AS pr FROM nodes)
+    """
+    steps = "".join(
+        f""", r{i} AS (
+      SELECT n.node,
+             (1 - {damping}) / (SELECT n FROM total)
+               + {damping} * COALESCE(SUM(r.pr / e.od), 0) AS pr
+      FROM nodes n
+      LEFT JOIN ed e ON e.dst = n.node
+      LEFT JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY n.node
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+    SELECT node, ROUND(pr, 8) AS pr FROM r{iters} ORDER BY node
+    """
+    )
+
+
+@register("q113_pagerank", _pagerank_oracle())
+def q113(spark, sf_dir):
+    """Fixed-iteration PageRank over the q08 taxonomy edge table
+    (operators/kg_metrics.pagerank): iterative join + dst-keyed
+    aggregate per round, lineage flattened by localCheckpoint. The
+    oracle unrolls the identical arithmetic as chained CTEs, so the
+    float iteration is value-checked, not just row-counted."""
+    from ..operators.kg_metrics import pagerank
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    out = pagerank(edges, damping=0.85, iters=5)
+    return out.select(
+        "node", F.round("rank", 8).alias("pr")
+    ).orderBy("node")

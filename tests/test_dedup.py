@@ -430,3 +430,72 @@ def test_lsh_star_edges_same_components_as_pair_clique(spark):
     # edges per band, never the clique's c(c-1)/2=28
     fat = [r for r in star_edges.collect() if r.src in range(1, 9)]
     assert len(fat) == 7
+
+
+def test_star_components_equals_connected_components(spark):
+    """Two-level star_components == one-level connected_components on
+    star edges: same labels on a corpus with a fat dup bucket,
+    chained buckets, and singletons."""
+    from phenobert_spark.operators.closure import (
+        connected_components,
+        star_components,
+    )
+
+    rows = [(i, "mass duplicated crawl page boilerplate text") for i in range(1, 9)]
+    rows += [
+        (20, "the quick brown fox jumps over the lazy dog"),
+        (21, "the quick brown fox jumps over the lazy dog"),
+        (22, "the quick brown fox jumps over a lazy dog today"),
+        (30, "a singleton document with entirely private words"),
+        (31, "another loner nothing shared with anyone else at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    edges = lsh_star_edges(minhash_signatures(d))
+    nodes = d.select("doc_id")
+    want = {
+        (r.node, r.component)
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in star_components(edges, nodes=nodes).collect()
+    }
+    assert got == want
+
+
+def test_star_components_random_graphs(spark):
+    """Randomized star graphs (reps = min of each synthetic bucket;
+    docs shared across buckets chain them): label parity with
+    connected_components and with a driver union-find."""
+    import random
+
+    from phenobert_spark.operators.closure import (
+        connected_components,
+        star_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_docs = 40
+        buckets = []
+        pool = list(range(1, n_docs + 1))
+        for _ in range(rng.randint(4, 10)):
+            size = rng.randint(1, 6)
+            buckets.append(rng.sample(pool, size))
+        star = []
+        for b in buckets:
+            m = min(b)
+            star.extend((m, x) for x in b if x != m)
+        if not star:
+            continue
+        edges = spark.createDataFrame(star, "src bigint, dst bigint")
+        nodes = spark.createDataFrame([(i,) for i in pool], "doc_id bigint")
+        want = {
+            (r.node, r.component)
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+        got = {
+            (r.node, r.component)
+            for r in star_components(edges, nodes=nodes).collect()
+        }
+        assert got == want, f"trial {trial}"
