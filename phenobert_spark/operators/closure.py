@@ -156,6 +156,7 @@ def star_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Two-level connected components specialized for star-contracted
     edge tables (``dedup.lsh_star_edges``: every edge is rep -> doc).
@@ -206,26 +207,79 @@ def star_components(
         .filter(F.col("src") != F.col("dst"))
     )
     rep_edges = shared.unionByName(self_rep).distinct()
-    rep_labels = connected_components(rep_edges, nodes=reps, max_iters=max_iters)
+    # Small rep graphs (the common dedup case: #edges ~ #chained
+    # buckets) pay ~10s of pure stage-scheduling latency in the
+    # iterative propagation — a flat cost that wrecks core-scaling of
+    # the whole job. Below the threshold, union-find the collected
+    # edges on the driver instead (the same small-graph escape hatch
+    # as the driver-side ontology BFS); past it, iterate distributed.
+    # Either way rep_labels only covers edge-touched reps — edgeless
+    # reps are their own component (they are the min of their bucket)
+    # and are backfilled by the coalesce below / the universe union.
+    n_probe = rep_edges.limit(driver_threshold + 1).count()
+    if n_probe <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rep_edges.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        spark = rep_edges.sparkSession
+        schema = (
+            "node "
+            + rep_edges.schema["src"].dataType.simpleString()
+            + ", component "
+            + rep_edges.schema["src"].dataType.simpleString()
+        )
+        rep_labels = spark.createDataFrame(
+            [(n, find(n)) for n in parent], schema
+        )
+    else:
+        rep_labels = connected_components(rep_edges, max_iters=max_iters)
     doc_labels = (
         dm.select(F.col("_d").alias("node"), F.col("_m").alias("_rep"))
         .distinct()
-        .join(rep_labels.withColumnRenamed("node", "_rep"), on="_rep")
-        .select("node", "component")
+        .join(
+            F.broadcast(rep_labels.withColumnRenamed("node", "_rep"))
+            if n_probe <= driver_threshold
+            else rep_labels.withColumnRenamed("node", "_rep"),
+            on="_rep",
+            how="left",
+        )
+        .select(
+            "node", F.coalesce("component", F.col("_rep")).alias("component")
+        )
     )
-    # a doc can be a rep of one bucket and a plain member of another;
-    # both paths yield the same (connected) component — min() dedupes
-    labels = (
-        rep_labels.unionByName(doc_labels)
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
-    )
+    # Finalize in ONE corpus-sized aggregate: hash-min labels satisfy
+    # component <= node, so unioning doc labels, rep labels, and the
+    # full node universe self-labeled and taking min() per node both
+    # dedupes the doc/rep overlap (their labels are equal — connected)
+    # AND backfills singletons — no separate left_anti pass.
+    parts = [rep_labels, doc_labels]
     if nodes is not None:
         node_col = nodes.columns[0]
-        singles = (
-            nodes.select(F.col(node_col).alias("node"))
-            .join(labels, on="node", how="left_anti")
-            .select("node", F.col("node").alias("component"))
+        parts.append(
+            nodes.select(
+                F.col(node_col).alias("node"),
+                F.col(node_col).alias("component"),
+            )
         )
-        labels = labels.unionByName(singles)
-    return labels
+    else:
+        # edgeless reps are in neither rep_labels nor doc_labels;
+        # without a universe they must self-label explicitly
+        parts.append(reps.select("node", F.col("node").alias("component")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("node").agg(F.min("component").alias("component"))

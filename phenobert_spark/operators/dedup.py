@@ -192,7 +192,12 @@ def lsh_star_edges(
     themselves are the product (e.g. to verify Jaccard per pair).
 
     Plan: one window-min per band over the bucket key + a filter — one
-    shuffle per band, no self-join at all.
+    shuffle per band, no self-join at all. Band keys are 8-byte
+    xxhash64 (salted with the band index), not 32-byte md5 hex — the
+    band shuffle is the corpus-sized wire cost here, and bucket
+    equality only needs a collision-free-w.h.p. key, not a stable hex
+    digest (unlike lsh_candidate_pairs, whose md5 banding is pinned by
+    the q17 oracle).
     """
     from pyspark.sql import Window
 
@@ -202,8 +207,8 @@ def lsh_star_edges(
         bands = [sig_cols[:half], sig_cols[half:] or sig_cols[:half]]
     sig = signatures.localCheckpoint(eager=False)  # don't re-derive per branch
     banded = None
-    for cols in bands:
-        b = sig.select("doc_id", F.md5(F.concat(*cols)).alias("band"))
+    for i, cols in enumerate(bands):
+        b = sig.select("doc_id", F.xxhash64(F.lit(i), *cols).alias("band"))
         banded = b if banded is None else banded.unionByName(b)
     rep = F.min("doc_id").over(Window.partitionBy("band"))
     return (
@@ -630,4 +635,67 @@ def winnow_fingerprints(
     return (
         docs.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
         .distinct()
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_train_df: int | None = None,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile recipe): for every
+    test document, which train documents share at least one distinct
+    w-token n-gram, and how much of the test doc they cover.
+
+    Returns (test_doc, train_doc, n_shared, test_grams, frac) where
+    ``n_shared`` counts DISTINCT shared grams and ``frac`` =
+    n_shared / test_grams (test doc's distinct gram count).
+
+    Plan: distinct (gram, doc) per side — the within-doc repeat
+    collapse happens map-side — then one gram-keyed equi-join (the
+    inverted index: a pair exists only if it shares a gram, never a
+    cross product) and one pair-keyed count. ``max_train_df`` drops
+    grams present in more than that many train docs from the join:
+    ubiquitous boilerplate is a skewed hot key AND precisely the gram
+    that signals template reuse rather than benchmark leakage —
+    removing it is standard practice, and both q115 engines apply the
+    identical cut. ``hash_grams=True`` is the 8-bytes-per-gram wire
+    variant (same trade as :func:`dup_ngram_stats`)."""
+    grams = _token_ngrams(text_col, int(w))
+
+    def side(df, name):
+        g = df.select(
+            F.col(id_col).alias(name), F.explode(grams).alias("gram")
+        )
+        if hash_grams:
+            g = g.withColumn("gram", F.xxhash64("gram"))
+        return g.distinct()
+
+    tr = side(train, "train_doc")
+    te = side(test, "test_doc")
+    if max_train_df is not None:
+        keep = (
+            tr.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= int(max_train_df))
+            .select("gram")
+        )
+        tr = tr.join(keep, on="gram")
+    totals = te.groupBy("test_doc").agg(F.count("*").alias("test_grams"))
+    return (
+        te.join(tr, on="gram")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .join(totals, on="test_doc")
+        .select(
+            "test_doc",
+            "train_doc",
+            "n_shared",
+            "test_grams",
+            (F.col("n_shared") / F.col("test_grams")).alias("frac"),
+        )
     )

@@ -2441,3 +2441,115 @@ def q113(spark, sf_dir):
     return out.select(
         "node", F.round("rank", 8).alias("pr")
     ).orderBy("node")
+
+
+@register(
+    "q114_asof_join",
+    """
+    WITH b AS (SELECT * FROM events WHERE event_type = 'click'),
+    a AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT a.event_id, a.user_id,
+             floor(epoch(a.ts))::BIGINT AS t,
+             a.value,
+             (SELECT b.event_id FROM b
+              WHERE b.user_id = a.user_id AND b.ts <= a.ts
+              ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS click_id
+      FROM a
+    )
+    SELECT m.event_id, m.user_id, m.t, m.value,
+           m.click_id,
+           floor(epoch(b.ts))::BIGINT AS click_t,
+           b.value AS click_value
+    FROM m LEFT JOIN b ON b.event_id = m.click_id
+    ORDER BY m.event_id
+    """,
+)
+def q114(spark, sf_dir):
+    """Point-in-time (as-of) join (operators/asof.asof_join): every
+    purchase matched to the user's latest click at-or-before it —
+    union + ordered window, ONE shuffle, linear in |L|+|R|, instead of
+    the range-join Spark would otherwise plan as a nested loop. The
+    oracle is an INDEPENDENT correlated-subquery formulation, not a
+    mirror of the window algorithm."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        a,
+        b,
+        key="user_id",
+        ts="ts",
+        right_cols=["ts", "event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+        "value",
+        F.col("matched_event_id").alias("click_id"),
+        F.unix_timestamp("matched_ts").cast("bigint").alias("click_t"),
+        F.col("matched_value").alias("click_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q115_decontaminate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 6, 1))) AS i
+            FROM t)
+    ), gd AS (
+      SELECT DISTINCT doc_id, gram FROM g
+    ), te AS (
+      SELECT doc_id AS test_doc, gram FROM gd WHERE doc_id % 10 = 0
+    ), tr AS (
+      SELECT doc_id AS train_doc, gram FROM gd WHERE doc_id % 10 != 0
+    ), keep AS (
+      SELECT gram FROM tr GROUP BY gram HAVING COUNT(*) <= 50
+    ), trk AS (
+      SELECT tr.train_doc, tr.gram FROM tr JOIN keep ON tr.gram = keep.gram
+    ), tot AS (
+      SELECT test_doc, COUNT(*) AS test_grams FROM te GROUP BY test_doc
+    ), pairs AS (
+      SELECT te.test_doc, trk.train_doc, COUNT(DISTINCT te.gram) AS n_shared
+      FROM te JOIN trk ON te.gram = trk.gram
+      GROUP BY te.test_doc, trk.train_doc
+    )
+    SELECT p.test_doc, p.train_doc,
+           p.n_shared::BIGINT AS n_shared,
+           tot.test_grams::BIGINT AS test_grams,
+           ROUND(p.n_shared / tot.test_grams::DOUBLE, 6) AS frac
+    FROM pairs p JOIN tot USING (test_doc)
+    ORDER BY p.test_doc, p.train_doc
+    """,
+)
+def q115(spark, sf_dir):
+    """Train/test benchmark decontamination
+    (operators/dedup.ngram_contamination, w=8): which train docs leak
+    a test doc's 8-grams, via the inverted n-gram equi-join — never a
+    cross product. Grams in > 50 train docs are cut on BOTH engines
+    (boilerplate = skewed hot key, not leakage). Split is doc_id
+    mod 10 for a self-contained oracle."""
+    from ..operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    out = ngram_contamination(train, test, w=8, max_train_df=50)
+    return out.select(
+        "test_doc",
+        "train_doc",
+        "n_shared",
+        "test_grams",
+        F.round("frac", 6).alias("frac"),
+    ).orderBy("test_doc", "train_doc")

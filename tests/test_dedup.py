@@ -1,6 +1,7 @@
 """First-class dedup operators (operators/dedup.py)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from phenobert_spark.operators.dedup import (
     exact_dedup,
@@ -494,8 +495,75 @@ def test_star_components_random_graphs(spark):
             (r.node, r.component)
             for r in connected_components(edges, nodes=nodes).collect()
         }
-        got = {
-            (r.node, r.component)
-            for r in star_components(edges, nodes=nodes).collect()
-        }
-        assert got == want, f"trial {trial}"
+        # both the driver union-find path (default threshold) and the
+        # distributed label-propagation path (threshold 0)
+        for thr in (2_000_000, 0):
+            got = {
+                (r.node, r.component)
+                for r in star_components(
+                    edges, nodes=nodes, driver_threshold=thr
+                ).collect()
+            }
+            assert got == want, f"trial {trial} thr {thr}"
+
+
+def test_ngram_contamination_hand_case(spark):
+    from phenobert_spark.operators.dedup import ngram_contamination
+
+    leak = "alpha beta gamma delta epsilon zeta"          # 6 toks, w=4 -> 3 grams
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then " + leak + " and more trailing words"),
+            (2, "completely clean training document nothing shared here"),
+            (3, leak),                                     # full leak
+        ],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100, leak + " with novel continuation tokens"),
+            (101, "totally original test document zero overlap present"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r.test_doc, r.train_doc): (r.n_shared, r.test_grams, r.frac)
+        for r in ngram_contamination(train, test, w=4).collect()
+    }
+    # doc 100 has 10 tokens -> 10-4+1 = 7 distinct grams; the 3 leak
+    # grams appear in train docs 1 and 3
+    assert rows[(100, 1)][0] == 3 and rows[(100, 3)][0] == 3
+    assert rows[(100, 1)][1] == 7
+    assert rows[(100, 1)][2] == pytest.approx(3 / 7)
+    assert not any(t == 101 for t, _ in rows)
+    assert not any(tr == 2 for _, tr in rows)
+
+
+def test_ngram_contamination_train_df_cut_and_hash_twin(spark):
+    from phenobert_spark.operators.dedup import ngram_contamination
+
+    boiler = "standard header boilerplate appears in every train doc"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, boiler)], "doc_id bigint, text string"
+    )
+    # without a cut: 5 contaminated pairs; with max_train_df=3 the
+    # ubiquitous grams vanish -> no pairs
+    assert ngram_contamination(train, test, w=4).count() == 5
+    assert (
+        ngram_contamination(train, test, w=4, max_train_df=3).count() == 0
+    )
+    # hashed wire variant computes identical values
+    a = sorted(
+        tuple(r) for r in ngram_contamination(train, test, w=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ngram_contamination(
+            train, test, w=4, hash_grams=True
+        ).collect()
+    )
+    assert a == b
