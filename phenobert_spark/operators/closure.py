@@ -186,7 +186,12 @@ def star_components(
     from pyspark.sql import Window
 
     w = Window.partitionBy("_d")
-    dm = e.select("_d", "_r", F.min("_r").over(w).alias("_m"))
+    # the corpus-sized window output feeds THREE consumers (the probe
+    # action below, the rep graph, and doc_labels) — pin it so the
+    # window shuffle runs once, not once per action
+    dm = e.select(
+        "_d", "_r", F.min("_r").over(w).alias("_m")
+    ).localCheckpoint(eager=False)
     reps = e.select(F.col("_r").alias("node")).distinct()
     # reps sharing a doc connect through the doc's min rep; AND a doc
     # that is itself a rep (of another bucket) carries its own rep-hood
@@ -216,8 +221,12 @@ def star_components(
     # Either way rep_labels only covers edge-touched reps — edgeless
     # reps are their own component (they are the min of their bucket)
     # and are backfilled by the coalesce below / the universe union.
-    n_probe = rep_edges.limit(driver_threshold + 1).count()
-    if n_probe <= driver_threshold:
+    # ONE action probes size AND fetches the edges: below the
+    # threshold the probe rows ARE the edge list, so the separate
+    # collect() (a second full pass) disappears.
+    probe_rows = rep_edges.limit(driver_threshold + 1).collect()
+    small = len(probe_rows) <= driver_threshold
+    if small:
         parent: dict = {}
 
         def find(x):
@@ -228,7 +237,7 @@ def star_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in rep_edges.collect():
+        for row in probe_rows:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -252,7 +261,7 @@ def star_components(
         .distinct()
         .join(
             F.broadcast(rep_labels.withColumnRenamed("node", "_rep"))
-            if n_probe <= driver_threshold
+            if small
             else rep_labels.withColumnRenamed("node", "_rep"),
             on="_rep",
             how="left",

@@ -90,6 +90,87 @@ def corpus_filter(
     )
 
 
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher-rules family
+    (Rae et al. 2021 §A1.1): machine-generated and boilerplate text is
+    flagged by how much of a document a few n-grams cover.
+
+    Per doc: ``n_tokens`` · ``ttr`` (type/token ratio) ·
+    ``top_word_frac`` (count of the most frequent token / n_tokens) ·
+    ``top_ngram_frac`` (fraction of ``top_n``-gram positions taken by
+    the single most frequent ``top_n``-gram) · ``dup_ngram_frac``
+    (fraction of ``dup_n``-gram positions whose gram occurs more than
+    once in the doc). Position fractions are bounded in [0, 1] — the
+    paper's character-coverage variant is not engine-portable (overlap
+    handling differs); position coverage is, and ranks docs the same.
+
+    Plan: one explode + two-level hash aggregate per gram size (the
+    (doc, gram) combiner absorbs within-partition repeats), then
+    doc-keyed joins — every shuffle is keyed on ``doc_id`` or
+    (doc, gram); nothing is corpus-global, so the op scales linearly
+    and the doc-keyed exchanges co-partition."""
+    from .dedup import _token_ngrams
+
+    doc = F.col(id_col).alias("doc_id")
+    uni = df.select(doc, F.explode(whitespace_tokens(F.col(text_col))).alias("t"))
+    ustats = (
+        uni.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.max("c").cast("bigint").alias("top_tok"),
+        )
+    )
+
+    def gram_stats(w, suffix):
+        g = df.select(
+            doc, F.explode_outer(_token_ngrams(text_col, w)).alias("g")
+        )
+        live = F.col("g").isNotNull()
+        return (
+            g.groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(live, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_pos{suffix}"),
+                F.max(F.when(live, F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias(f"top{suffix}"),
+                F.sum(
+                    F.when(live & (F.col("c") > 1), F.col("c")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"dup{suffix}"),
+            )
+        )
+
+    t = gram_stats(int(top_n), "_t")
+    d = gram_stats(int(dup_n), "_d")
+    frac = lambda num, den: (num / F.greatest(den, F.lit(1)).cast("double"))
+    return (
+        ustats.join(t, on="doc_id")
+        .join(d, on="doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            frac(F.col("n_types"), F.col("n_tokens")).alias("ttr"),
+            frac(F.col("top_tok"), F.col("n_tokens")).alias("top_word_frac"),
+            frac(F.col("top_t"), F.col("n_pos_t")).alias("top_ngram_frac"),
+            frac(F.col("dup_d"), F.col("n_pos_d")).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -2553,3 +2553,77 @@ def q115(spark, sf_dir):
         "test_grams",
         F.round("frac", 6).alias("frac"),
     ).orderBy("test_doc", "train_doc")
+
+
+@register(
+    "q116_repetition_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), uc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ), us AS (
+      SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+             COUNT(*)::BIGINT AS n_types, MAX(c)::BIGINT AS top_tok
+      FROM uc GROUP BY doc_id
+    ), g2c AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, greatest(len(toks), 1))) AS i
+                  FROM t))
+      GROUP BY doc_id, g
+    ), g2s AS (
+      SELECT doc_id, SUM(c) AS n_pos_t, MAX(c) AS top_t
+      FROM g2c GROUP BY doc_id
+    ), g5c AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+                  FROM t))
+      GROUP BY doc_id, g
+    ), g5s AS (
+      SELECT doc_id, SUM(c) AS n_pos_d,
+             COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_d
+      FROM g5c GROUP BY doc_id
+    )
+    SELECT us.doc_id, us.n_tokens,
+           ROUND(us.n_types / us.n_tokens::DOUBLE, 6) AS ttr,
+           ROUND(us.top_tok / us.n_tokens::DOUBLE, 6) AS top_word_frac,
+           ROUND(COALESCE(g2s.top_t, 0)
+                 / greatest(COALESCE(g2s.n_pos_t, 0), 1)::DOUBLE, 6)
+             AS top_ngram_frac,
+           ROUND(COALESCE(g5s.dup_d, 0)
+                 / greatest(COALESCE(g5s.n_pos_d, 0), 1)::DOUBLE, 6)
+             AS dup_ngram_frac
+    FROM us
+    LEFT JOIN g2s USING (doc_id)
+    LEFT JOIN g5s USING (doc_id)
+    ORDER BY us.doc_id
+    """,
+)
+def q116(spark, sf_dir):
+    """Gopher-rules repetition signals (operators/text.repetition_scores):
+    type/token ratio, top-word coverage, top-2-gram position coverage,
+    duplicated-5-gram position fraction — the within-doc repetition
+    quality family (Rae et al. 2021 §A1.1) as position fractions so
+    both engines count identically. One explode + combiner-friendly
+    two-level aggregate per gram size; every shuffle keyed on doc_id
+    or (doc, gram)."""
+    from ..operators.text import repetition_scores
+
+    out = repetition_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+    ).orderBy("doc_id")

@@ -85,3 +85,38 @@ def test_corpus_filter_composes_with_streaming(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_repetition_scores_hand_cases(spark):
+    from phenobert_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "x y x y x"),
+            (3, "p q r s t p q r s t p q r s t"),
+            (4, "hello"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+
+    r1 = rows[1]  # 4 tokens, 1 type; all three 2-gram positions are "a a"
+    assert (r1.n_tokens, r1.ttr, r1.top_word_frac) == (4, 0.25, 1.0)
+    assert r1.top_ngram_frac == 1.0
+    assert r1.dup_ngram_frac == 0.0  # no 5-gram positions
+
+    r2 = rows[2]  # x3 y2; 2-grams: "x y" x2, "y x" x2 over 4 positions
+    assert (r2.n_tokens, r2.ttr, r2.top_word_frac) == (5, 0.4, 0.6)
+    assert r2.top_ngram_frac == 0.5
+    assert r2.dup_ngram_frac == 0.0  # single 5-gram position, count 1
+
+    r3 = rows[3]  # period-5 text: every 5-gram position duplicated
+    assert r3.n_tokens == 15
+    assert r3.dup_ngram_frac == 1.0
+    assert abs(r3.top_ngram_frac - 3 / 14) < 1e-12  # "p q" x3 / 14 positions
+
+    r4 = rows[4]  # single token: no gram positions at either width
+    assert (r4.n_tokens, r4.ttr, r4.top_word_frac) == (1, 1.0, 1.0)
+    assert r4.top_ngram_frac == 0.0 and r4.dup_ngram_frac == 0.0
