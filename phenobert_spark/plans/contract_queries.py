@@ -2627,3 +2627,89 @@ def q116(spark, sf_dir):
         F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
         F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q117_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           floor(epoch(s1.t1))::BIGINT AS t1,
+           floor(epoch(s2.t2))::BIGINT AS t2,
+           floor(epoch(s3.t3))::BIGINT AS t3
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY s1.user_id
+    """,
+)
+def q117(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase
+    (operators/funnel.funnel): first in-order match time per stage per
+    user, NULL after abandonment. k-1 user-keyed equi-joins + k keyed
+    min-aggregates; stage filters push to the scan; no full-event
+    window (hot-user skew safe)."""
+    from ..operators.funnel import funnel
+
+    out = funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("t1").cast("bigint").alias("t1"),
+        F.unix_timestamp("t2").cast("bigint").alias("t2"),
+        F.unix_timestamp("t3").cast("bigint").alias("t3"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q118_revenue_rollup",
+    """
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           COALESCE(year(o.o_orderdate), -1)::BIGINT AS yr,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    ORDER BY nation, yr
+    """,
+)
+def q118(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (nation, year) -> (nation) ->
+    grand total in ONE pass — Spark expands grouping sets inside a
+    single hash aggregate (partial aggregation still applies), vs
+    three unioned scans. NULL placeholder rows are COALESCE-labeled
+    identically on both engines so the contract hash is stable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("_yr"), "o_totalprice")
+        .rollup("n_name", "_yr")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("_yr", F.lit(-1)).cast("bigint").alias("yr"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("nation", "yr")
+    )
