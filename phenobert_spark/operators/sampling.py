@@ -206,3 +206,66 @@ def hash_sample(
     return df.filter(
         _bucket(F.col(id_col), salt) < F.lit(_hex_threshold(fraction))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    sample_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the LLM data-mixing
+    recipe (multilingual-BERT / XLM-R exponential smoothing): draw a
+    corpus-level ``sample_frac`` of rows with per-group rates
+    proportional to the FLATTENED group weights ``n_g^alpha / sum
+    n_h^alpha``, so ``alpha < 1`` up-samples small sources and
+    down-samples dominant ones.
+
+    Appends ``mix_w`` (flattened weight), ``p_keep`` (per-group keep
+    probability, ``min(1, sample_frac * N * w_g / n_g)`` — a group too
+    small for its target keeps everything; without replacement the
+    excess mass is NOT redistributed, so the realized total can fall
+    short when groups saturate), and ``keep`` — the same
+    md5-hex-threshold draw as :func:`hash_split`, a pure function of
+    (id, salt), re-runnable and auditable in any engine. ``p_keep`` is
+    rounded to 6 decimals BEFORE the threshold is derived so both
+    engines floor the identical number (double summation order differs
+    across engines at the last ulp).
+
+    Plan: one tiny group aggregate + a broadcast of one row per group
+    joined back — the corpus-sized pass stays narrow; no shuffle of
+    ``df`` itself, no RNG state.
+    """
+    stats = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    tot = stats.agg(
+        F.sum(F.pow(F.col("_n_g").cast("double"), F.lit(float(alpha)))).alias("_z"),
+        F.sum("_n_g").cast("double").alias("_n_total"),
+    )
+    w = F.pow(F.col("_n_g").cast("double"), F.lit(float(alpha))) / F.col("_z")
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(sample_frac)) * F.col("_n_total") * w / F.col("_n_g"),
+        ),
+        6,
+    )
+    stats = stats.crossJoin(F.broadcast(tot)).select(
+        group_col, w.alias("mix_w"), p.alias("p_keep")
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(F.col("p_keep") * F.lit(float(_SPACE))),
+                    F.lit(_SPACE - 1),
+                ).cast("bigint")
+            ),
+            8,
+            "0",
+        )
+    )
+    return df.join(F.broadcast(stats), on=group_col).withColumn(
+        "keep", _bucket(F.col(id_col), salt) < thr
+    )

@@ -2713,3 +2713,54 @@ def q118(spark, sf_dir):
         )
         .orderBy("nation", "yr")
     )
+
+
+@register(
+    "q119_mixture_sample",
+    """
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(pow(n_g, 0.5)) AS z, SUM(n_g)::DOUBLE AS n_total
+      FROM stats
+    ), s AS (
+      SELECT source, n_g, pow(n_g, 0.5) / tot.z AS w,
+             ROUND(LEAST(1.0, 0.5 * tot.n_total
+                              * (pow(n_g, 0.5) / tot.z) / n_g), 6)
+               AS p_keep
+      FROM stats, tot
+    )
+    SELECT s.source, s.n_g::BIGINT AS n_docs,
+           ROUND(s.w, 6) AS mix_w, s.p_keep,
+           SUM(CASE WHEN substring(md5(d.doc_id::VARCHAR), 1, 8)
+                    < lower(lpad(to_hex(LEAST(
+                        floor(s.p_keep * 4294967296)::BIGINT,
+                        4294967295)), 8, '0'))
+               THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM documents d JOIN s USING (source)
+    GROUP BY s.source, s.n_g, s.w, s.p_keep
+    ORDER BY s.source
+    """,
+)
+def q119(spark, sf_dir):
+    """Temperature-based mixture sampling audit
+    (operators/sampling.mixture_sample, alpha=0.5, frac=0.5): per
+    source, the flattened mixture weight, derived keep probability,
+    and the EXACT kept count under the deterministic md5 threshold —
+    the draw is a pure function of doc_id, so both engines agree row
+    for row, not just in expectation."""
+    from ..operators.sampling import mixture_sample
+
+    out = mixture_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, sample_frac=0.5
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.first("mix_w"), 6).alias("mix_w"),
+            F.first("p_keep").alias("p_keep"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -132,3 +132,44 @@ def test_stratified_split_exact_proportions(spark):
         df.repartition(11), w, strata_col="lang"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_mixture_sample_flattening_and_determinism(spark):
+    import hashlib
+
+    from phenobert_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "small") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    out = mixture_sample(df, alpha=0.5, sample_frac=0.5).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, []).append(r)
+
+    # n^0.5: 10 vs 2 -> z = 12; N = 104, target_big = 52*10/12 = 43.33
+    big_p = by_group["big"][0].p_keep
+    assert abs(big_p - 43.3333333 / 100) < 1e-6
+    # small source saturates: target 8.67 > 4 docs -> keep everything
+    assert by_group["small"][0].p_keep == 1.0
+    assert all(r.keep for r in by_group["small"])
+
+    # the draw is the md5-hex threshold, reproducible outside Spark
+    thr = format(int(round(big_p, 6) * 16**8), "08x")
+    for r in by_group["big"]:
+        want = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8] < thr
+        assert r.keep == want, r.doc_id
+
+    # alpha=1 degenerates to proportional sampling: p == sample_frac
+    prop = mixture_sample(df, alpha=1.0, sample_frac=0.25).collect()
+    assert all(abs(r.p_keep - 0.25) < 1e-6 for r in prop)
+
+    # a salt derives an independent draw over the same keys
+    salted = {
+        r.doc_id: r.keep
+        for r in mixture_sample(df, alpha=0.5, sample_frac=0.5, salt="s1").collect()
+    }
+    base = {r.doc_id: r.keep for r in out}
+    assert salted != base
