@@ -2764,3 +2764,119 @@ def q119(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q120_hll_distinct",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h // 8388608 AS bucket,
+             CASE WHEN h % 8388608 = 0 THEN 24
+                  ELSE 24 - length(bin(h % 8388608)) END AS rho
+      FROM h
+    ), regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             SUM(pow(2.0::DOUBLE, -rho)) AS inv_present,
+             COUNT(*) AS n_buckets
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, n_buckets, (512 - n_buckets) AS n_zero,
+             (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+               * 512.0::DOUBLE * 512.0::DOUBLE
+               / (inv_present + (512 - n_buckets)::DOUBLE) AS raw
+      FROM agg
+    )
+    SELECT e.event_type, e.n_buckets::BIGINT AS n_buckets,
+           e.n_zero::BIGINT AS n_zero,
+           ROUND(e.raw, 4) AS est_raw,
+           ROUND(CASE WHEN e.raw <= 1280.0::DOUBLE AND e.n_zero > 0
+                      THEN 512.0::DOUBLE * ln(512.0::DOUBLE / e.n_zero)
+                      ELSE e.raw END, 4) AS est,
+           x.exact_distinct
+    FROM est e
+    JOIN (SELECT event_type,
+                 COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+          FROM events GROUP BY 1) x USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def q120(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count sketch
+    (operators/sketches.hll_distinct, p=9): md5-derived registers make
+    the ESTIMATE itself cross-engine exact, so the driver value-checks
+    the sketch (registers, harmonic sum, linear-counting correction)
+    — not merely its error bound — next to the exact distinct count.
+    The sketch is the 100-TB path for COUNT(DISTINCT): one narrow
+    pass, 512 combinable registers per group on the wire instead of a
+    full shuffle of the key space, and shard sketches merge by max."""
+    from ..operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, on="event_type")
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_zero",
+            F.round("est_raw", 4).alias("est_raw"),
+            F.round("est", 4).alias("est"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q121_histogram_quantiles",
+    """
+    WITH hist AS (
+      SELECT lang, n_chars // 64 AS b, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, b, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ), sel AS (
+      SELECT cum.lang, q.q, cum.n, cum.b, cum.c, cum.cum,
+             ROW_NUMBER() OVER (PARTITION BY cum.lang, q.q
+                                ORDER BY cum.b) AS rn
+      FROM cum CROSS JOIN
+           (SELECT UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q) q
+      WHERE cum.cum >= GREATEST(CEIL(q.q * cum.n), 1)
+    )
+    SELECT lang, q,
+           ROUND((b::DOUBLE
+                  + (GREATEST(CEIL(q * n), 1)::DOUBLE - (cum - c)::DOUBLE)
+                    / c::DOUBLE) * 64.0::DOUBLE, 4) AS est,
+           n::BIGINT AS n
+    FROM sel WHERE rn = 1
+    ORDER BY lang, q
+    """,
+)
+def q121(spark, sf_dir):
+    """Mergeable fixed-width histogram quantile sketch
+    (operators/sketches.histogram_quantiles): the scale path next to
+    q104's exact per-group sort percentiles. Bucket counts merge by
+    sum across shards/executors; the interpolation runs on exact
+    integers, so the estimate is bit-identical in both engines and the
+    driver value-checks the sketch itself."""
+    from ..operators.sketches import histogram_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    out = histogram_quantiles(
+        d, "n_chars", ["lang"], [0.5, 0.9, 0.99], bucket_width=64
+    )
+    return out.select(
+        "lang", "q", F.round("est", 4).alias("est"), "n"
+    ).orderBy("lang", "q")

@@ -1,0 +1,102 @@
+import pyspark.sql.functions as F
+import pytest
+
+from phenobert_spark.operators.sketches import (
+    histogram_quantiles,
+    hll_distinct,
+    hll_registers,
+    hll_relative_error,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 3 groups with known distinct counts 40 / 400 / 1500, with
+    # duplicate rows mixed in (the sketch must be duplicate-blind)
+    rows = (
+        [("a", i % 40) for i in range(200)]
+        + [("b", i % 400) for i in range(1200)]
+        + [("c", i) for i in range(1500)]
+    )
+    return spark.createDataFrame(rows, "g string, k bigint")
+
+
+def test_hll_within_error_bound(spark, keyed):
+    got = {
+        r.g: r for r in hll_distinct(keyed, "k", ["g"], p=9).collect()
+    }
+    exact = {"a": 40, "b": 400, "c": 1500}
+    bound = 3 * hll_relative_error(9)
+    for g, n in exact.items():
+        assert abs(got[g].est - n) / n < bound, (g, got[g].est, n)
+        assert got[g].n_buckets + got[g].n_zero == 512
+
+
+def test_hll_duplicate_blind_and_repartition_stable(spark, keyed):
+    once = keyed.dropDuplicates(["g", "k"])
+    a = sorted(map(tuple, hll_distinct(keyed, "k", ["g"], p=7).collect()))
+    b = sorted(map(tuple, hll_distinct(once, "k", ["g"], p=7).collect()))
+    c = sorted(
+        map(
+            tuple,
+            hll_distinct(keyed.repartition(13), "k", ["g"], p=7).collect(),
+        )
+    )
+    assert a == b == c
+
+
+def test_hll_registers_merge_by_max(spark, keyed):
+    """Sketches of disjoint shards merge by groupBy-max into exactly
+    the whole-corpus register table — the property that makes the
+    sketch re-aggregable across executors/days without raw keys."""
+    left = keyed.filter(F.col("k") % 2 == 0)
+    right = keyed.filter(F.col("k") % 2 == 1)
+    merged = (
+        hll_registers(left, "k", ["g"], p=8)
+        .unionByName(hll_registers(right, "k", ["g"], p=8))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(keyed, "k", ["g"], p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_salt_derives_independent_registers(spark, keyed):
+    base = hll_registers(keyed, "k", ["g"], p=8).collect()
+    salted = hll_registers(keyed, "k", ["g"], p=8, salt="s1").collect()
+    assert sorted(map(tuple, base)) != sorted(map(tuple, salted))
+
+
+def test_histogram_quantiles_bucket_accuracy(spark):
+    rows = [("g", float(v)) for v in range(1, 1001)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = 16
+    got = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            df, "v", ["g"], [0.5, 0.9, 0.99], bucket_width=w
+        ).collect()
+    }
+    import numpy as np
+
+    vals = np.arange(1, 1001, dtype=float)
+    for q, est in got.items():
+        exact = float(np.quantile(vals, q))
+        assert abs(est - exact) <= w, (q, est, exact)
+    assert got[0.5] <= got[0.9] <= got[0.99]
+
+
+def test_histogram_quantiles_exact_small_case(spark):
+    # 4 values in bucket 0 ([0,10)) and 6 in bucket 1 ([10,20)):
+    # target rank for q=0.5 is ceil(5)=5 -> bucket 1, frac (5-4)/6
+    df = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 4, 11, 12, 13, 14, 15, 16]],
+        "g string, v int",
+    )
+    (row,) = histogram_quantiles(
+        df, "v", ["g"], [0.5], bucket_width=10
+    ).collect()
+    assert row.n == 10
+    assert abs(row.est - (1 + 1 / 6) * 10) < 1e-12
