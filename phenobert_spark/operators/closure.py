@@ -292,3 +292,60 @@ def star_components(
     for p in parts[1:]:
         u = u.unionByName(p)
     return u.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 60,
+) -> DataFrame:
+    """Single-source-set BFS over a directed edge table: minimum hop
+    count from ANY source node to every reachable node. Returns
+    (node, dist) with sources at dist 0 — the distributed form of the
+    reference's ontology depth / hop-distance walks (reference
+    ``util.py`` computes HPO depths driver-side on the in-memory DAG;
+    this is the same semantics for graphs that don't fit a driver).
+
+    Semi-naive frontier expansion: each round joins ONLY the frontier
+    (nodes first reached last round) against the edge table, anti-joins
+    the visited set, and tags survivors with ``dist = round``. BFS
+    order guarantees the first visit is the minimum distance, so no
+    per-node min-reduction is ever needed. Cost per round is one
+    equi-join + one anti-join shuffled on the node key; the frontier
+    is the only growing input, and ``localCheckpoint`` keeps the plan
+    flat. Rounds = graph depth from the sources (the unavoidable
+    sequential dimension of BFS).
+
+    Raises RuntimeError if the frontier is still non-empty after
+    ``max_iters`` — a silently truncated BFS would report missing
+    nodes as unreachable, the same failure mode connected_components
+    warns about.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for i in range(1, max_iters + 1):
+        stepped = (
+            frontier.join(e, frontier.node == e._s)
+            .select(F.col("_t").alias("node"))
+            .distinct()
+        )
+        new = stepped.join(dist, on="node", how="left_anti").select(
+            "node", F.lit(i).cast("bigint").alias("dist")
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            return dist
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    raise RuntimeError(
+        f"bfs_distances: frontier non-empty after max_iters={max_iters}; "
+        "graph is deeper than the iteration budget"
+    )

@@ -203,3 +203,92 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph (self-loops and duplicate/reversed edges are
+    normalized away). Returns (node, degree, triangles, clustering).
+
+    The scale-critical choice is DEGREE ORDERING (Cohen 2009 /
+    Suri-Vassilvitskii "Counting Triangles and the Curse of the Last
+    Reducer"): every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so wedges are enumerated only at each
+    triangle's LOWEST-degree vertex. A star hub of degree d receives
+    no wedge fan-out (all its edges point INTO it) — without this the
+    hub materializes d^2 candidate rows and one reducer eats the
+    whole graph; with it the wedge count is bounded by sum of
+    min-degree^2 over the orientation, the standard O(m^{3/2}) bound.
+
+    Plan: two equi-joins (wedge build + closure probe), both on node
+    keys; degree is one keyed count; everything map-side combinable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    # orient every edge lower-(degree, id) -> higher-(degree, id)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    ranked = und.join(da, on="a").join(db, on="b")
+    fwd = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    # wedges at the low vertex: (lo -> x), (lo -> y), x "before" y in
+    # the SAME orientation order; the closing edge, if present, is
+    # oriented x -> y by transitivity of the (degree, id) order.
+    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
+    wedges = (
+        o1.join(o2, on="w")
+        .join(dx, on="x")
+        .join(dy, on="y")
+        .filter(
+            F.struct(F.col("_dx"), F.col("x")) < F.struct(F.col("_dy"), F.col("y"))
+        )
+        .select("w", "x", "y")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        on=["x", "y"],
+    )
+    per_node = (
+        tris.select(F.col("w").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree").cast("double") - F.lit(1.0))
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

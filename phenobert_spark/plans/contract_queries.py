@@ -2880,3 +2880,117 @@ def q121(spark, sf_dir):
     return out.select(
         "lang", "q", F.round("est", 4).alias("est"), "n"
     ).orderBy("lang", "q")
+
+
+@register(
+    "q122_bfs_order_chains",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 300
+    )
+    SELECT o_orderkey AS node, (rn - 1)::BIGINT AS dist
+    FROM ranked WHERE rn <= 12
+    ORDER BY node
+    """,
+)
+def q122(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/closure.bfs_distances)
+    over per-customer order-succession chains (each customer's orders
+    in date order, truncated at 12 hops; sources = every customer's
+    first order). The oracle is an INDEPENDENT closed form — on a
+    chain graph the BFS distance equals the window rank minus one —
+    so the iterative frontier join is value-checked against
+    non-iterative SQL, the same cross-formulation pattern as q114."""
+    from ..operators.closure import bfs_distances
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 12)
+    nxt = ranked.select(
+        "o_custkey", F.col("rn").alias("_rn1"), F.col("o_orderkey").alias("src")
+    ).join(
+        ranked.select(
+            "o_custkey", (F.col("rn") - 1).alias("_rn1"),
+            F.col("o_orderkey").alias("dst"),
+        ),
+        on=["o_custkey", "_rn1"],
+    ).select("src", "dst")
+    sources = ranked.filter(F.col("rn") == 1).select("o_orderkey")
+    return (
+        bfs_distances(nxt, sources)
+        .select("node", "dist")
+        .orderBy("node")
+    )
+
+
+@register(
+    "q123_triangle_count",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 60
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.15
+    ), tris AS (
+      SELECT p1.a AS x, p1.b AS y, p2.b AS z
+      FROM pairs p1
+      JOIN pairs p2 ON p2.a = p1.b
+      JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+    ), per_node AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+      ) GROUP BY node
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY node
+    )
+    SELECT d.node AS doc_id, d.degree::BIGINT AS degree,
+           COALESCE(p.triangles, 0)::BIGINT AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0::DOUBLE * COALESCE(p.triangles, 0)::DOUBLE
+                           / (d.degree::DOUBLE * (d.degree::DOUBLE - 1.0))
+                      ELSE 0.0::DOUBLE END, 6) AS clustering
+    FROM deg d LEFT JOIN per_node p USING (node)
+    ORDER BY doc_id
+    """,
+)
+def q123(spark, sf_dir):
+    """Degree-oriented triangle counting + local clustering coefficient
+    (operators/kg_metrics.triangle_count) on the near-duplicate
+    similarity graph (exact Jaccard pairs >= 0.15 via the q35-verified
+    PPJoin prefix join — dup clusters are exactly where triangles
+    live). The oracle enumerates triangles with a brute triple
+    self-join over the same all-pairs graph; the operator's
+    degree-ordered wedge orientation must reproduce it exactly while
+    never fanning out at hub nodes (the curse-of-the-last-reducer
+    guard that matters at 100 TB)."""
+    from ..operators.dedup import jaccard_pairs_prefix
+    from ..operators.kg_metrics import triangle_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = jaccard_pairs_prefix(d, threshold=0.15).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return (
+        triangle_count(pairs)
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            "triangles",
+            F.round("clustering", 6).alias("clustering"),
+        )
+        .orderBy("doc_id")
+    )

@@ -149,3 +149,17 @@ def test_winnow_fingerprints_single_exchange(spark):
     plan = _formatted_plan(spark, winnow_fingerprints(df))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
     assert n_exchanges <= 1, plan
+
+
+def test_triangle_count_plan_no_cartesian(spark):
+    """Wedge build + closure probe must stay equi-joins: a cartesian
+    or nested-loop join here is exactly the hub blow-up the
+    degree-ordered orientation exists to prevent."""
+    from phenobert_spark.operators.kg_metrics import triangle_count
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(40)], "src bigint, dst bigint"
+    )
+    plan = _formatted_plan(spark, triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
