@@ -2994,3 +2994,95 @@ def q123(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q124_incremental_dedup",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+               AS is_seen
+      FROM documents
+    ), seen AS (
+      SELECT doc_id, text FROM base WHERE is_seen
+    ), inc AS (
+      SELECT doc_id, text FROM base WHERE NOT is_seen
+      UNION ALL
+      SELECT doc_id + 100000, text FROM base
+      WHERE is_seen AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM base
+      WHERE NOT is_seen AND doc_id % 7 = 0
+    ), sig AS (
+      SELECT doc_id, which, ck, mh1, mh2, mh3, mh4 FROM (
+        SELECT doc_id, which, md5(lower(trim(text))) AS ck,
+               list_min(list_transform(shingles, s -> substr(md5(s), 1, 8)))  AS mh1,
+               list_min(list_transform(shingles, s -> substr(md5(s), 9, 8)))  AS mh2,
+               list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS mh3,
+               list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS mh4
+        FROM (
+          SELECT doc_id, which, text,
+                 [array_to_string(toks[i:i+2], ' ')
+                  for i in generate_series(1, greatest(len(toks) - 2, 1))]
+                   AS shingles
+          FROM (
+            SELECT doc_id, 's' AS which, text,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM seen
+            UNION ALL
+            SELECT doc_id, 'i', text,
+                   string_split_regex(lower(trim(text)), '\s+')
+            FROM inc
+          )
+        )
+      )
+    ), bands AS (
+      SELECT doc_id, which, md5('0' || mh1 || mh2) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, which, md5('1' || mh3 || mh4) FROM sig
+    ), batch_min AS (
+      SELECT ck, MIN(doc_id) AS first FROM sig WHERE which = 'i' GROUP BY ck
+    ), inc_near AS (
+      SELECT b.doc_id,
+             MAX(b.band IN (SELECT band FROM bands WHERE which = 's'))
+               AS near
+      FROM bands b WHERE b.which = 'i' GROUP BY b.doc_id
+    )
+    SELECT k.doc_id,
+           CASE WHEN k.ck IN (SELECT ck FROM sig WHERE which = 's')
+                  THEN 'exact_dup_seen'
+                WHEN k.doc_id <> bm.first THEN 'exact_dup_batch'
+                WHEN n.near THEN 'near_dup_seen'
+                ELSE 'new' END AS status
+    FROM sig k
+    JOIN batch_min bm USING (ck)
+    JOIN inc_near n USING (doc_id)
+    WHERE k.which = 'i'
+    ORDER BY k.doc_id
+    """,
+)
+def q124(spark, sf_dir):
+    """Incremental (new-vs-seen) dedup against a corpus snapshot
+    (operators/dedup.incremental_dedup_status): the incoming batch is
+    the non-snapshot half of documents plus two deterministic
+    replayed shards (re-sent snapshot docs and re-sent batch docs
+    under fresh ids), so all four statuses fire. The oracle recomputes
+    every per-doc status — exact content-key membership, batch-first
+    arbitration, and the MinHash band probe — from the same md5
+    primitives. At scale the snapshot side never re-shuffles: only its
+    distinct content keys and distinct band keys participate."""
+    from ..operators.dedup import incremental_dedup_status
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    seen = d.filter(h < "80000000")
+    inc0 = d.filter(h >= "80000000")
+    replay_seen = seen.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    replay_batch = inc0.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    incoming = inc0.unionByName(replay_seen).unionByName(replay_batch)
+    return incremental_dedup_status(incoming, seen).orderBy("doc_id")

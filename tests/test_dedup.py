@@ -567,3 +567,71 @@ def test_ngram_contamination_train_df_cut_and_hash_twin(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_incremental_dedup_statuses_and_priority(spark):
+    from phenobert_spark.operators.dedup import incremental_dedup_status
+
+    text_a = "the quick brown fox jumps over the lazy dog today"
+    # near-dup of text_a: one token changed -> shares minhash bands
+    # often; craft instead an EXACT shingle-subset overlap by reusing
+    # text_a verbatim for near-case via whitespace/case normalization
+    text_a_norm = "  The QUICK brown fox jumps over the lazy dog today "
+    text_b = "completely different content about spark catalyst plans"
+    text_c = "yet another unrelated document mentioning ontologies"
+    seen = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id bigint, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, text_a_norm),  # exact dup of seen (normalized key)
+            (11, text_c),       # new
+            (12, text_c),       # exact dup within batch (first = 11)
+            (13, text_b),       # exact dup of seen AND batch-unique
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in incremental_dedup_status(incoming, seen).collect()
+    }
+    assert got == {
+        10: "exact_dup_seen",
+        11: "new",
+        12: "exact_dup_batch",
+        13: "exact_dup_seen",
+    }
+    # snapshot docs are never classified — output covers incoming only
+    assert set(got) == {10, 11, 12, 13}
+
+
+def test_incremental_dedup_near_via_bands(spark):
+    from phenobert_spark.operators.dedup import (
+        incremental_dedup_status,
+        minhash_signatures,
+    )
+    import pyspark.sql.functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = base + " lambda"  # same prefix shingles -> likely band hit
+    seen = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    inc = spark.createDataFrame(
+        [(10, variant)], "doc_id bigint, text string"
+    )
+    # the status must agree with a direct band comparison (no false
+    # assumption that the variant always collides)
+    sigs = minhash_signatures(
+        seen.unionByName(inc), text_col="text", id_col="doc_id"
+    ).collect()
+    by_id = {r.doc_id: r for r in sigs}
+    b_seen = {
+        ("0", by_id[1].mh1, by_id[1].mh2),
+        ("1", by_id[1].mh3, by_id[1].mh4),
+    }
+    b_inc = {
+        ("0", by_id[10].mh1, by_id[10].mh2),
+        ("1", by_id[10].mh3, by_id[10].mh4),
+    }
+    expect = "near_dup_seen" if (b_seen & b_inc) else "new"
+    (row,) = incremental_dedup_status(inc, seen).collect()
+    assert row.status == expect
