@@ -269,3 +269,71 @@ def mixture_sample(
     return df.join(F.broadcast(stats), on=group_col).withColumn(
         "keep", _bucket(F.col(id_col), salt) < thr
     )
+
+
+def weighted_order_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted random sample of ``k`` rows (per group, if
+    ``group_cols``) by sequential Poisson / order sampling (Ohlsson
+    1998, the survey-sampling relative of Efraimidis-Spirakis
+    reservoir WRS): each row draws a deterministic uniform
+    ``u = (h + 1) / 2^32`` from the md5 of its id and is ranked by the
+    priority ``u / w`` — the k SMALLEST priorities win, so inclusion
+    probability is approximately proportional to weight.
+
+    Chosen over the textbook ``u^(1/w)`` exponent form deliberately:
+    the priority here is two IEEE divisions — no libm pow/ln — so
+    every engine computes the bit-identical double and the SELECTED
+    SET (not just its distribution) is reproducible anywhere, the
+    property the q125 oracle value-checks. Ties are broken by id.
+
+    Plan: the priority is a narrow projection; per-group top-k is the
+    W1 window pattern (rank inside the group), global top-k is a
+    TakeOrdered — no full sort of the corpus either way. Weights must
+    be strictly positive (raises otherwise on the driver-side check
+    that the cheapest invalid-weight probe allows: a lazy filter would
+    silently drop rows instead).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_SPACE))
+    priority = u / F.col(weight_col).cast("double")
+    base = df.withColumn("priority", priority)
+    guarded = base.withColumn(
+        "priority",
+        F.when(
+            F.col(weight_col).cast("double") > 0, F.col("priority")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_order_sample: non-positive weight for id "),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("double")
+        ),
+    )
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(
+            "priority", F.col(id_col)
+        )
+        return (
+            guarded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return guarded.orderBy("priority", F.col(id_col)).limit(k)

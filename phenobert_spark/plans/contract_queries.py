@@ -3086,3 +3086,42 @@ def q124(spark, sf_dir):
     )
     incoming = inc0.unionByName(replay_seen).unionByName(replay_batch)
     return incremental_dedup_status(incoming, seen).orderBy("doc_id")
+
+
+@register(
+    "q125_weighted_order_sample",
+    """
+    WITH pr AS (
+      SELECT lang, doc_id,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1)::DOUBLE / 4294967296.0::DOUBLE / n_chars::DOUBLE
+               AS priority
+      FROM documents
+    ), r AS (
+      SELECT lang, doc_id, priority,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY priority, doc_id) AS rn
+      FROM pr
+    )
+    SELECT lang, doc_id, ROUND(priority, 12) AS priority
+    FROM r WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def q125(spark, sf_dir):
+    """Length-weighted random sample, 20 docs per language
+    (operators/sampling.weighted_order_sample — sequential Poisson
+    order sampling): the priority u/w is two IEEE divisions on an
+    md5-derived uniform, zero libm, so the oracle re-derives the
+    EXACT selected set and priorities in DuckDB — reproducible
+    weighted sampling any engine can audit, the weighted complement
+    of q99's uniform split."""
+    from ..operators.sampling import weighted_order_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_order_sample(
+        d, "n_chars", 20, group_cols=["lang"]
+    )
+    return out.select(
+        "lang", "doc_id", F.round("priority", 12).alias("priority")
+    ).orderBy("lang", "doc_id")

@@ -173,3 +173,52 @@ def test_mixture_sample_flattening_and_determinism(spark):
     }
     base = {r.doc_id: r.keep for r in out}
     assert salted != base
+
+
+def test_weighted_order_sample_python_replica(spark):
+    import hashlib
+
+    from phenobert_spark.operators.sampling import weighted_order_sample
+
+    rows = [(i, "g1" if i % 2 else "g2", float(1 + (i * 37) % 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, w double")
+
+    def prio(i, w, salt=""):
+        h = int(hashlib.md5((str(i) + salt).encode()).hexdigest()[:8], 16)
+        return ((h + 1) / 2**32) / w
+
+    # exact-set parity with a driver-side replica of the formula
+    for salt in ["", "s1"]:
+        got = {
+            (r.g, r.doc_id)
+            for r in weighted_order_sample(
+                df, "w", 10, salt=salt, group_cols=["g"]
+            ).collect()
+        }
+        want = set()
+        for g in ["g1", "g2"]:
+            members = [(prio(i, w, salt), i) for i, gg, w in rows if gg == g]
+            want |= {(g, i) for _, i in sorted(members)[:10]}
+        assert got == want, salt
+
+    # global top-k path (TakeOrdered, no window)
+    topk = weighted_order_sample(df, "w", 15).collect()
+    want = sorted(((prio(i, w), i) for i, _, w in rows))[:15]
+    assert [r.doc_id for r in sorted(topk, key=lambda r: (r.priority, r.doc_id))] == [
+        i for _, i in want
+    ]
+    # repartition-stable
+    again = weighted_order_sample(df.repartition(17), "w", 15).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in topk}
+
+
+def test_weighted_order_sample_rejects_bad_weight(spark):
+    import pytest
+
+    from phenobert_spark.operators.sampling import weighted_order_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0)], "doc_id bigint, w double"
+    )
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_order_sample(df, "w", 5).collect()
