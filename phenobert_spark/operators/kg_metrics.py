@@ -292,3 +292,70 @@ def triangle_count(
             .alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    2007), made DETERMINISTIC: every node starts labeled with itself;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken by the smallest label, isolated nodes keep their own.
+    Fixed ``iters`` synchronous rounds (the async/random variant of the
+    original paper is irreproducible by construction — useless for a
+    pipeline that must re-run identically, and untestable against an
+    oracle; q127 value-checks this form against unrolled SQL).
+
+    Complements :func:`connected_components` (labels by reachability)
+    and :func:`pagerank` (scores by centrality): LPA splits a
+    connected region into densely-linked communities — on a dedup
+    graph, template families inside one giant weakly-connected blob.
+
+    Plan per round: one equi-join (neighbor labels), one keyed count,
+    one per-node top-1 window — all on the node key, map-side
+    combinable, hub-skew bounded by distinct neighbor LABELS (not
+    neighbors). localCheckpoint flattens lineage across rounds.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = sym.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        all_nodes = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .unionByName(all_nodes)
+            .distinct()
+        )
+    all_nodes = all_nodes.localCheckpoint(eager=True)
+    labels = all_nodes.select("node", F.col("node").alias("lbl"))
+    wtop = Window.partitionBy("node").orderBy(
+        F.col("_c").desc(), F.col("lbl")
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.count("*").alias("_c"))
+        )
+        top = (
+            votes.withColumn("_rn", F.row_number().over(wtop))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+        )
+        labels = (
+            all_nodes.join(top, on="node", how="left")
+            .select(
+                "node", F.coalesce("lbl", F.col("node")).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -3125,3 +3125,125 @@ def q125(spark, sf_dir):
     return out.select(
         "lang", "doc_id", F.round("priority", 12).alias("priority")
     ).orderBy("lang", "doc_id")
+
+
+_Q126_PAIRS = f"""
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+               * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
+            >= 0.4
+"""
+
+
+@register(
+    "q126_embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_Q126_PAIRS}
+    ), sym AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), reach AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT sym.a AS node, reach.lbl
+      FROM sym JOIN reach ON sym.b = reach.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS component,
+           (MIN(lbl) = node) AS is_canonical
+    FROM reach GROUP BY node ORDER BY vec_id
+    """,
+)
+def q126(spark, sf_dir):
+    """SemDeDup-style embedding near-duplicate CLUSTERING end-to-end
+    (Abbas et al. 2023 semantics, Spark-native): hyperplane-LSH cosine
+    pairs (the q38-verified scale path — equi-join on band keys, never
+    all-pairs) -> undirected connected components -> canonical = min
+    vec_id per cluster, i.e. the document kept by an embedding-level
+    dedup. The oracle recomputes components over the brute-force
+    cosine graph with a recursive CTE, so the whole composed pipeline
+    (LSH recall + fixpoint labels) is value-checked like q98 is for
+    token-space dedup."""
+    from ..operators.closure import connected_components
+    from ..operators.similarity import cosine_neardup_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_lsh(
+        spark, e, threshold=0.4, n_planes=64, band_bits=2
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs, nodes=e.select("vec_id"))
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    ).orderBy("vec_id")
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation: per round, count
+    neighbor labels, take the (count DESC, label ASC) top-1 per node,
+    isolated nodes keep their current label."""
+    head = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 80
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.2
+    ), sym AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), nodes AS (
+      SELECT doc_id AS node FROM t
+    ), l0 AS (
+      SELECT node, node AS lbl FROM nodes
+    )"""
+    steps = "".join(
+        f""", v{i} AS (
+      SELECT e.a AS node, r.lbl, COUNT(*) AS c
+      FROM sym e JOIN l{i - 1} r ON r.node = e.b
+      GROUP BY e.a, r.lbl
+    ), p{i} AS (
+      SELECT node, lbl,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY c DESC, lbl) AS rn
+      FROM v{i}
+    ), l{i} AS (
+      SELECT n.node, COALESCE(p.lbl, n.node) AS lbl
+      FROM nodes n
+      LEFT JOIN (SELECT node, lbl FROM p{i} WHERE rn = 1) p USING (node)
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+    SELECT node AS doc_id, lbl AS community FROM l{iters} ORDER BY doc_id
+    """
+    )
+
+
+@register("q127_label_propagation", _lpa_oracle())
+def q127(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (operators/kg_metrics.label_propagation, 3 rounds) on the
+    near-duplicate similarity graph (exact Jaccard >= 0.2 via the
+    PPJoin prefix join). The oracle unrolls the identical vote /
+    top-1 / isolated-keep rounds as chained CTEs, so every round's
+    argmax — including its (count, label) tie-break — is
+    value-checked, the q113 pattern applied to community labels."""
+    from ..operators.dedup import jaccard_pairs_prefix
+    from ..operators.kg_metrics import label_propagation
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    pairs = jaccard_pairs_prefix(d, threshold=0.2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    out = label_propagation(pairs, nodes=d.select("doc_id"), iters=3)
+    return out.select(
+        F.col("node").alias("doc_id"), "community"
+    ).orderBy("doc_id")

@@ -113,3 +113,67 @@ def test_mica_interesting_resnik_value(spark, dag):
     # lin = 2*IC(b) / (IC(b) + IC(e)); IC(e) = -ln(2/5)
     want_lin = 2 * -m.log(3 / 5) / (-m.log(3 / 5) + -m.log(2 / 5))
     assert r.lin == pytest.approx(want_lin, abs=1e-12)
+
+
+def _lpa_ref(edges, nodes, iters):
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            if not nbrs:
+                new[n] = lbl[n]
+                continue
+            counts = {}
+            for v in nbrs:
+                counts[lbl[v]] = counts.get(lbl[v], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_reference(spark):
+    import random
+
+    from phenobert_spark.operators.kg_metrics import label_propagation
+
+    rng = random.Random(5)
+    nodes = list(range(30))
+    edges = [
+        (a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.1
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    n = spark.createDataFrame([(x,) for x in nodes], "node bigint")
+    for iters in [1, 3]:
+        got = {
+            r.node: r.community
+            for r in label_propagation(e, nodes=n, iters=iters).collect()
+        }
+        assert got == _lpa_ref(edges, nodes, iters), iters
+
+
+def test_label_propagation_barbell_and_isolated(spark):
+    from phenobert_spark.operators.kg_metrics import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src bigint, dst bigint"
+    )
+    n = spark.createDataFrame([(x,) for x in [1, 2, 3, 4, 5, 6, 99]], "node bigint")
+    got = {
+        r.node: r.community
+        for r in label_propagation(e, nodes=n, iters=3).collect()
+    }
+    # the two triangles settle into separate communities; the isolated
+    # node keeps its own label
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    assert got[99] == 99
