@@ -224,3 +224,110 @@ def histogram_quantiles(
         est.alias("est"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def countmin_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width_bits: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch table (Cormode-Muthukrishnan 2005): ``depth``
+    independent md5-salted hash rows x ``2^width_bits`` buckets, cell =
+    sum of key occurrences (or of ``weight_col``). Returns (row,
+    bucket, c) — O(depth * width) cells per corpus regardless of key
+    cardinality, built by ONE combinable groupBy; shard tables merge
+    by summing cells, the same re-aggregation story as
+    :func:`hll_registers`.
+
+    Like every sketch in this module the hash is md5-derived, so the
+    full cell table — and therefore every estimate read off it — is
+    integer-exact and engine-portable (q128 value-checks both).
+    """
+    if depth < 1 or width_bits < 1:
+        raise ValueError("depth and width_bits must be >= 1")
+    w = 1 << width_bits
+    rows = []
+    for r in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cm{r}:"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(w)
+        )
+        weight = (
+            F.col(weight_col).cast("bigint")
+            if weight_col
+            else F.lit(1).cast("bigint")
+        )
+        rows.append(
+            df.select(
+                F.lit(r).alias("row"),
+                bucket.alias("bucket"),
+                weight.alias("_w"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("row", "bucket").agg(F.sum("_w").alias("c"))
+
+
+def countmin_estimate(
+    table: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width_bits: int = 10,
+) -> DataFrame:
+    """Point-frequency estimates for a set of probe keys against a
+    count-min table: est(k) = MIN over rows of cell(row, h_row(k)) —
+    an upper bound on the true count, tight for heavy hitters (the
+    collision mass is bounded by 2N/width per row, and min over
+    independent rows drives the over-estimate to its floor).
+
+    Plan: probes fan out to ``depth`` (row, bucket) lookups, equi-join
+    the cell table, min-reduce per key. The cell table is
+    dim-table-sized (depth * width rows) — broadcast territory — so
+    the probe side never shuffles at all."""
+    w = 1 << width_bits
+    lookups = None
+    for r in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cm{r}:"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(w)
+        )
+        p = probes.select(
+            F.col(key_col).alias("key"),
+            F.lit(r).alias("row"),
+            bucket.alias("bucket"),
+        )
+        lookups = p if lookups is None else lookups.unionByName(p)
+    return (
+        lookups.join(F.broadcast(table), on=["row", "bucket"], how="left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )

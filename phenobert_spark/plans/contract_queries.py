@@ -3247,3 +3247,69 @@ def q127(spark, sf_dir):
     return out.select(
         F.col("node").alias("doc_id"), "community"
     ).orderBy("doc_id")
+
+
+@register(
+    "q128_countmin_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ), exact AS (
+      SELECT tok, COUNT(*)::BIGINT AS exact_n FROM toks GROUP BY tok
+    ), probes AS (
+      SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20
+    ), rows_ AS (
+      SELECT UNNEST([0, 1, 2, 3]) AS r
+    ), cells AS (
+      SELECT r, bucket, COUNT(*)::BIGINT AS c FROM (
+        SELECT rows_.r,
+               ('0x' || substr(md5('cm' || rows_.r || ':' || toks.tok), 1, 8)
+               )::BIGINT % 1024 AS bucket
+        FROM toks CROSS JOIN rows_
+      ) GROUP BY r, bucket
+    )
+    SELECT p.tok, p.exact_n, MIN(c.c)::BIGINT AS est
+    FROM probes p
+    CROSS JOIN rows_ d
+    JOIN cells c
+      ON c.r = d.r
+     AND c.bucket = ('0x' || substr(md5('cm' || d.r || ':' || p.tok), 1, 8)
+                    )::BIGINT % 1024
+    GROUP BY p.tok, p.exact_n
+    ORDER BY p.exact_n DESC, p.tok
+    """,
+)
+def q128(spark, sf_dir):
+    """Count-min heavy-hitter estimates
+    (operators/sketches.countmin_table / countmin_estimate, depth 4 x
+    1024 buckets) for the 20 most frequent corpus tokens, next to
+    their exact counts. Pure integer cells from md5-salted hashes, so
+    the oracle rebuilds the identical sketch and the driver
+    value-checks estimate == estimate, not just error <= bound. The
+    sketch is the fixed-memory path to token frequencies: cells
+    merge by sum across shards, and the probe join broadcasts the
+    4096-cell table — nothing key-cardinality-sized ever shuffles."""
+    from ..operators.sketches import countmin_estimate, countmin_table
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        )
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    probes = exact.orderBy(F.desc("exact_n"), "tok").limit(20)
+    table = countmin_table(toks, "tok", depth=4, width_bits=10)
+    est = countmin_estimate(
+        table, probes.select("tok"), "tok", depth=4, width_bits=10
+    )
+    return (
+        probes.join(
+            est.withColumnRenamed("key", "tok"), on="tok"
+        )
+        .select("tok", "exact_n", F.col("est").cast("bigint").alias("est"))
+        .orderBy(F.desc("exact_n"), "tok")
+    )

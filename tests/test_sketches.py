@@ -100,3 +100,81 @@ def test_histogram_quantiles_exact_small_case(spark):
     ).collect()
     assert row.n == 10
     assert abs(row.est - (1 + 1 / 6) * 10) < 1e-12
+
+
+def test_countmin_upper_bound_and_merge(spark):
+    from phenobert_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 60
+        + [(f"cold{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    table = countmin_table(df, "k", depth=4, width_bits=8)
+    probes = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold7",), ("absent",)], "k string"
+    )
+    got = {
+        r.key: r.est
+        for r in countmin_estimate(
+            table, probes, "k", depth=4, width_bits=8
+        ).collect()
+    }
+    exact = {"hot": 500, "warm": 60, "cold7": 1, "absent": 0}
+    n_total = len(rows)
+    for k, n in exact.items():
+        # upper bound, within the 2N/width collision slack per row
+        assert n <= got[k] <= n + 2 * n_total / 256 * 4, (k, got[k])
+    # heavy hitter estimated exactly or near-exactly
+    assert got["hot"] >= 500
+
+    # shard tables merge by summing cells into the whole-corpus table
+    left = countmin_table(
+        spark.createDataFrame(rows[:400], "k string"),
+        "k",
+        depth=4,
+        width_bits=8,
+    )
+    right = countmin_table(
+        spark.createDataFrame(rows[400:], "k string"),
+        "k",
+        depth=4,
+        width_bits=8,
+    )
+    import pyspark.sql.functions as F
+
+    merged = (
+        left.unionByName(right)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, table.collect())
+    )
+
+
+def test_countmin_weighted(spark):
+    from phenobert_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 2)], "k string, w int"
+    )
+    table = countmin_table(df, "k", depth=3, width_bits=6, weight_col="w")
+    got = {
+        r.key: r.est
+        for r in countmin_estimate(
+            table,
+            spark.createDataFrame([("a",), ("b",)], "k string"),
+            "k",
+            depth=3,
+            width_bits=6,
+        ).collect()
+    }
+    assert got["a"] >= 15 and got["b"] >= 2
