@@ -19,6 +19,10 @@ Coverage map (operator ids from SURVEY.md §2):
   q97 (k-means-trained IVF full-probe)
   dedup clustering q98 (connected components vs recursive-CTE oracle)
   split/sample q99 (hash_split/hash_sample, portable md5 thresholds)
+  sketches q120 (HLL), q121 (histogram quantiles), q128 (count-min)
+  graph q122 (BFS), q123 (triangles), q127 (label propagation)
+  incremental dedup q124  weighted sampling q125
+  embedding dedup clustering q126 (LSH pairs -> components)
 """
 
 from __future__ import annotations
