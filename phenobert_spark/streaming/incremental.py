@@ -257,3 +257,54 @@ def run_stream_to_completion(query: StreamingQuery, timeout_sec: int = 120) -> N
     query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
+
+
+def windowed_hll_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 9,
+) -> DataFrame:
+    """Streaming distinct-count sketch: watermarked tumbling-window
+    HyperLogLog registers over an event stream — the streaming twin of
+    batch ``sketches.hll_registers`` (q120's verified kernel) and the
+    scale answer to "distinct users per hour" on an unbounded stream.
+
+    Exact streaming COUNT(DISTINCT) would hold every key in state
+    forever-growing per window; the register MAX is (a) bounded at
+    2^p rows of state per window, (b) an associative+commutative
+    aggregate Structured Streaming can maintain incrementally in
+    append mode, and (c) identical to the batch register table on the
+    same data (pinned in tests/test_streaming.py), so a downstream
+    consumer can merge stream-hours into day sketches by the same
+    groupBy-max with no reprocessing.
+
+    Finalization to an estimate is one tiny batch select over the
+    emitted registers (``sketches.hll_distinct``'s arithmetic);
+    emitting registers rather than estimates keeps the stream output
+    mergeable — the property estimates don't have.
+    """
+    from ..operators.sketches import _md5_u32
+
+    w = 32 - p
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    h = _md5_u32(F.col(key_col))
+    bucket = F.floor(h / F.lit(float(1 << w))).cast("int")
+    rest = h % F.lit(1 << w)
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("w"), "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "bucket",
+            "rho",
+        )
+    )

@@ -368,3 +368,43 @@ def test_sessionize_stream_late_event_folds_forward(spark, tmp_path):
         if r.user_id == 1
     ]
     assert got == [(1, 1, 3, 500)], got  # start 1000, last 1500, 3 events
+
+
+def test_windowed_hll_stream_matches_batch_registers(spark, tmp_path):
+    """The streaming per-window HLL register table equals the batch
+    hll_registers grouped by the same window start — so stream-emitted
+    sketches merge/finalize exactly like batch ones (q120 kernel)."""
+    from phenobert_spark.operators.sketches import hll_registers
+    from phenobert_spark.streaming.incremental import windowed_hll_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev_hll")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        windowed_hll_rollup(stream, p=7)
+        .writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from hll_stream_test").collect()
+    }
+    batch = hll_registers(
+        events.withColumn(
+            "hour_start",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))),
+        ),
+        "user_id",
+        ["hour_start"],
+        p=7,
+    ).select("hour_start", "bucket", "rho")
+    want = {tuple(r) for r in batch.collect()}
+    # append mode only emits watermark-finalized windows
+    assert got <= want
+    assert len(got) > 0
