@@ -349,3 +349,73 @@ def bfs_distances(
         f"bfs_distances: frontier non-empty after max_iters={max_iters}; "
         "graph is deeper than the iteration budget"
     )
+
+
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iters: int = 60,
+) -> DataFrame:
+    """Weighted single-source-set shortest paths (non-negative edge
+    weights): minimum total weight from ANY source to every reachable
+    node. Returns (node, dist); sources at 0. The weighted sibling of
+    :func:`bfs_distances` — frontier-driven Bellman-Ford relaxation,
+    the distributed fixpoint for graphs too big for a driver-side heap
+    (a Dijkstra PQ is inherently sequential; at cluster scale the
+    per-round relax-join IS the standard formulation, cf. Pregel SSSP).
+
+    Each round relaxes only edges leaving the CURRENT frontier (nodes
+    whose distance improved last round): one equi-join + one keyed min
+    — map-side combinable — then a min-merge against the running
+    distances; a node re-enters the frontier only on strict
+    improvement, so with non-negative weights the loop terminates in
+    at most (longest shortest-path hop count) rounds.
+    localCheckpoint flattens lineage per round. Raises RuntimeError if
+    the frontier survives ``max_iters`` (same contract as
+    bfs_distances — silent truncation would mislabel reachable nodes).
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_t"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iters):
+        relaxed = (
+            frontier.join(e, frontier.node == e._s)
+            .groupBy(F.col("_t").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("_cand"))
+        )
+        merged = (
+            dist.join(relaxed, on="node", how="full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("_cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("_cand") < F.col("dist"))
+                ).alias("_improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(
+            F.coalesce("_improved", F.lit(False))
+        ).select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.isEmpty():
+            return dist
+    raise RuntimeError(
+        f"sssp_distances: frontier non-empty after max_iters={max_iters}"
+    )

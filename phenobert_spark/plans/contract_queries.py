@@ -3317,3 +3317,250 @@ def q128(spark, sf_dir):
         .select("tok", "exact_n", F.col("est").cast("bigint").alias("est"))
         .orderBy(F.desc("exact_n"), "tok")
     )
+
+
+@register(
+    "q129_sssp_order_chains",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 300
+    )
+    SELECT o_orderkey AS node,
+           datediff('day',
+                    FIRST_VALUE(o_orderdate) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate)::BIGINT AS dist
+    FROM ranked WHERE rn <= 12
+    ORDER BY node
+    """,
+)
+def q129(spark, sf_dir):
+    """Weighted single-source shortest paths
+    (operators/closure.sssp_distances, Bellman-Ford frontier
+    relaxation) on the q122 order-succession chains with edge weight =
+    days between consecutive orders. Independent closed-form oracle:
+    on a chain, the shortest-path weight from the chain head is the
+    day gap to the first order (one window FIRST_VALUE + datediff) —
+    the iterative relax-join is value-checked against non-iterative
+    SQL."""
+    from ..operators.closure import sssp_distances
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 12)
+    nxt = ranked.select(
+        "o_custkey", F.col("rn").alias("_rn1"),
+        F.col("o_orderkey").alias("src"),
+        F.col("o_orderdate").alias("_d1"),
+    ).join(
+        ranked.select(
+            "o_custkey", (F.col("rn") - 1).alias("_rn1"),
+            F.col("o_orderkey").alias("dst"),
+            F.col("o_orderdate").alias("_d2"),
+        ),
+        on=["o_custkey", "_rn1"],
+    ).select(
+        "src", "dst", F.datediff("_d2", "_d1").alias("w")
+    )
+    sources = ranked.filter(F.col("rn") == 1).select("o_orderkey")
+    return (
+        sssp_distances(nxt, sources)
+        .select("node", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("node")
+    )
+
+
+@register(
+    "q130_bm25_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks)::DOUBLE AS dl,
+             len(list_filter(toks, x -> x = 'spark'))::DOUBLE  AS tf0,
+             len(list_filter(toks, x -> x = 'window'))::DOUBLE AS tf1,
+             len(list_filter(toks, x -> x = 'hash'))::DOUBLE   AS tf2
+      FROM t
+    ), stats AS (
+      SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avg_len,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+      FROM base
+    ), scored AS (
+      SELECT doc_id, tf0, tf1, tf2,
+             ((ln((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)
+                  + 1.0::DOUBLE)
+               * tf0 * 2.2::DOUBLE
+               / (tf0 + 1.2::DOUBLE
+                        * (0.25::DOUBLE
+                           + 0.75::DOUBLE * dl / avg_len)))
+              + (ln((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)
+                    + 1.0::DOUBLE)
+                 * tf1 * 2.2::DOUBLE
+                 / (tf1 + 1.2::DOUBLE
+                          * (0.25::DOUBLE
+                             + 0.75::DOUBLE * dl / avg_len))))
+             + (ln((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE)
+                   + 1.0::DOUBLE)
+                * tf2 * 2.2::DOUBLE
+                / (tf2 + 1.2::DOUBLE
+                         * (0.25::DOUBLE
+                            + 0.75::DOUBLE * dl / avg_len)))
+               AS score
+      FROM base CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25,
+           tf0::BIGINT AS tf_0, tf1::BIGINT AS tf_1, tf2::BIGINT AS tf_2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC,
+                                   doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    ORDER BY bm25 DESC, doc_id
+    """,
+)
+def q130(spark, sf_dir):
+    """BM25 ranked retrieval (operators/retrieval.bm25_scores, Lucene
+    idf, k1=1.2 b=0.75) for the fixed query [spark, window, hash]:
+    top-20 docs with per-token tf audit columns. Corpus stats (df,
+    avg_len) are a broadcast 1-row aggregate; the per-doc score is a
+    fixed-order expression the oracle reproduces term for term."""
+    from ..operators.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, ["spark", "window", "hash"])
+    w = Window.orderBy(F.round("score", 6).desc(), F.col("id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round("score", 6).alias("bm25"),
+            "tf_0", "tf_1", "tf_2",
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+    )
+
+
+@register(
+    "q131_rrf_fusion",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks)::DOUBLE AS dl,
+             len(list_filter(toks, x -> x = 'spark'))::DOUBLE  AS tf0,
+             len(list_filter(toks, x -> x = 'window'))::DOUBLE AS tf1
+      FROM t
+    ), stats AS (
+      SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avg_len,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+      FROM base
+    ), lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(
+               (ln((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)
+                   + 1.0::DOUBLE)
+                * tf0 * 2.2::DOUBLE
+                / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE
+                       + 0.75::DOUBLE * dl / avg_len)))
+               + (ln((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)
+                     + 1.0::DOUBLE)
+                  * tf1 * 2.2::DOUBLE
+                  / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE
+                         + 0.75::DOUBLE * dl / avg_len))), 6) DESC,
+               doc_id) AS rank
+      FROM base CROSS JOIN stats
+      ORDER BY rank LIMIT 50
+    ), q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(
+               {_DOT_SQL.format(a='q.qe', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding',
+                                          b='e.embedding')})), 6) DESC,
+               vec_id) AS rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+      ORDER BY rank LIMIT 50
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             (CASE WHEN l.rank IS NOT NULL
+                   THEN 1.0::DOUBLE / (60.0::DOUBLE + l.rank)
+                   ELSE 0.0::DOUBLE END)
+             + (CASE WHEN d.rank IS NOT NULL
+                     THEN 1.0::DOUBLE / (60.0::DOUBLE + d.rank)
+                     ELSE 0.0::DOUBLE END) AS rrf
+      FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, ROUND(rrf, 8) AS rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 20
+    ORDER BY rrf DESC, doc_id
+    """,
+)
+def q131(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/retrieval.rrf_fuse, k=60) of
+    a lexical BM25 top-50 (query [spark, window]) and a dense cosine
+    top-50 (query = embedding of vec_id 0, doc ids aligned with vec
+    ids): the standard calibration-free hybrid-retrieval combiner.
+    Integer ranks in, fixed-order exact divisions out, so the fused
+    scores — and the fused top-20 — are engine-identical."""
+    from ..operators.retrieval import bm25_scores, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex_scored = bm25_scores(d, ["spark", "window"])
+    wl = Window.orderBy(F.round("score", 6).desc(), F.col("id"))
+    lex = (
+        lex_scored.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 50)
+        .select("id", "rank")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qe")
+    )
+    cos = dot(F.col("embedding"), F.col("_qe")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("_qe"), F.col("_qe")))
+    )
+    wd = Window.orderBy(F.round(cos, 6).desc(), F.col("vec_id"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qe))
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 50)
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    fused = rrf_fuse([lex, dense], id_col="id", rank_col="rank", k=60)
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return (
+        fused.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= 20)
+        .select(
+            F.col("id").alias("doc_id"), F.round("rrf", 8).alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )

