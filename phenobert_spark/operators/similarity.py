@@ -549,3 +549,91 @@ def quantized_cosine_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def dbscan_cosine(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    eps_cos: float = 0.4,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 64,
+    band_bits: int = 2,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) with a
+    cosine-similarity neighborhood, composed entirely from this
+    engine's verified scale paths: the eps-neighborhood graph comes
+    from :func:`cosine_neardup_lsh` (band equi-join, never all-pairs),
+    core points are one keyed degree count, clusters are
+    :func:`~phenobert_spark.operators.closure.connected_components`
+    over the CORE-CORE subgraph, and border points attach to the
+    minimum-labeled core neighbor (the deterministic resolution of
+    DBSCAN's order-dependent border assignment — classic DBSCAN gives
+    border points to whichever cluster scans them first, which is
+    irreproducible on a cluster; min-label is the canonical choice).
+
+    Returns (vec_id, role in {core, border, noise}, cluster —
+    null for noise). A point's eps-neighborhood includes itself
+    (degree + 1 >= min_pts), matching the original paper.
+
+    Scale shape: every stage is an equi-join or keyed aggregate on the
+    node key; the only iteration is the component fixpoint, bounded by
+    core-graph diameter (tiny for density clusters). Embedding
+    clustering at this shape is the SemDeDup/IVF sibling for corpus
+    curation: q133 value-checks the full composition against a
+    brute-force + recursive-CTE oracle."""
+    from .closure import connected_components  # local: avoid cycle at import
+
+    pairs = cosine_neardup_lsh(
+        spark,
+        embeddings,
+        threshold=eps_cos,
+        n_planes=n_planes,
+        band_bits=band_bits,
+        id_col=id_col,
+        emb_col=emb_col,
+    ).select("id_a", "id_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("id_a").alias("v")).agg(
+        F.count("*").alias("_nn")
+    )
+    core = deg.filter(F.col("_nn") + 1 >= min_pts).select("v")
+    core_edges = (
+        sym.join(core.withColumnRenamed("v", "id_a"), on="id_a")
+        .join(core.withColumnRenamed("v", "id_b"), on="id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(core_edges, nodes=core).select(
+        F.col("node").alias("v"), F.col("component").alias("cluster")
+    )
+    border = (
+        sym.join(core.withColumnRenamed("v", "id_a"), on="id_a", how="left_anti")
+        .join(comp.withColumnRenamed("v", "id_b"), on="id_b")
+        .groupBy(F.col("id_a").alias("v"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    ids = embeddings.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(comp.withColumn("role", F.lit("core")), on="v", how="left")
+        .join(
+            border.withColumnRenamed("cluster", "_bcluster"),
+            on="v",
+            how="left",
+        )
+        .select(
+            F.col("v").alias("vec_id"),
+            F.coalesce(
+                "role",
+                F.when(F.col("_bcluster").isNotNull(), "border").otherwise(
+                    "noise"
+                ),
+            ).alias("role"),
+            F.coalesce("cluster", "_bcluster").alias("cluster"),
+        )
+    )

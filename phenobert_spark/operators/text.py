@@ -297,3 +297,70 @@ def sparse_cosine_pairs(
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information for adjacent-token bigrams:
+
+        pmi(a, b) = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )
+
+    the standard collocation / multi-word-expression miner (Church &
+    Hanks 1990) — the corpus-scale analog of the reference's phrase
+    statistics mined for dictionary substitutions (ontology.py's
+    mined_substitutions trusts co-variation counts; PMI is the same
+    signal normalized for unigram frequency). ``min_count`` drops the
+    unstable low-count tail, exactly the Gopher/C4-style guard.
+
+    Returns (w1, w2, c_ab, pmi). Plan: ONE token pass builds both the
+    bigram stream (arrays_zip of the shifted token array — no
+    self-join of positions) and the unigram stream; two combinable
+    keyed counts; corpus totals ride along as a broadcast 1-row
+    aggregate. PMI's ln takes exact-integer-derived arguments, so the
+    value is engine-reproducible (q132's oracle recomputes it)."""
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    big = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = docs.select(F.explode(toks).alias("w"))
+    c_uni = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = uni.agg(F.count("*").cast("double").alias("_n_uni"))
+    c_bi = big.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    n_bi = big.agg(F.count("*").cast("double").alias("_n_bi"))
+    return (
+        c_bi.filter(F.col("c_ab") >= min_count)
+        # unigram counts are vocabulary-sized (can be billions of keys
+        # on a web corpus): leave the join strategy to AQE instead of
+        # forcing a broadcast; only the 1-row totals are broadcast.
+        .join(
+            c_uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "_c1"),
+            on="w1",
+        )
+        .join(
+            c_uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "_c2"),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.log(
+                (F.col("c_ab").cast("double") / F.col("_n_bi"))
+                / (
+                    (F.col("_c1").cast("double") / F.col("_n_uni"))
+                    * (F.col("_c2").cast("double") / F.col("_n_uni"))
+                )
+            ).alias("pmi"),
+        )
+    )

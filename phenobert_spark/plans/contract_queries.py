@@ -3131,14 +3131,20 @@ def q125(spark, sf_dir):
     ).orderBy("lang", "doc_id")
 
 
-_Q126_PAIRS = f"""
+def _cos_pairs_sql(thr: float) -> str:
+    """Brute-force cosine pair CTE body at a given threshold (oracle
+    twin of the LSH pair path; shared by q126/q133)."""
+    return f"""
       SELECT a.vec_id AS a, b.vec_id AS b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
                * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
-            >= 0.4
+            >= {thr}
 """
+
+
+_Q126_PAIRS = _cos_pairs_sql(0.4)
 
 
 @register(
@@ -3563,4 +3569,113 @@ def q131(spark, sf_dir):
             F.col("id").alias("doc_id"), F.round("rrf", 8).alias("rrf")
         )
         .orderBy(F.desc("rrf"), "doc_id")
+    )
+
+
+@register(
+    "q132_pmi_collocations",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), big AS (
+      SELECT UNNEST([{'w1': toks[i], 'w2': toks[i + 1]}
+                     for i in generate_series(1, len(toks) - 1)], recursive := true)
+      FROM t WHERE len(toks) >= 2
+    ), uni AS (
+      SELECT UNNEST(toks) AS w FROM t
+    ), c_uni AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), c_bi AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2
+    ), tot AS (
+      SELECT (SELECT COUNT(*)::DOUBLE FROM uni) AS n_uni,
+             (SELECT COUNT(*)::DOUBLE FROM big) AS n_bi
+    )
+    SELECT b.w1, b.w2, b.c_ab::BIGINT AS c_ab,
+           ROUND(ln((b.c_ab::DOUBLE / tot.n_bi)
+                    / ((u1.c::DOUBLE / tot.n_uni)
+                       * (u2.c::DOUBLE / tot.n_uni))), 6) AS pmi
+    FROM c_bi b
+    JOIN c_uni u1 ON u1.w = b.w1
+    JOIN c_uni u2 ON u2.w = b.w2
+    CROSS JOIN tot
+    WHERE b.c_ab >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 30
+    """,
+)
+def q132(spark, sf_dir):
+    """Top collocations by pointwise mutual information
+    (operators/text.pmi_bigrams, min_count=5): the corpus-scale
+    phrase/MWE miner. Counts are exact integers and the ln takes
+    identical arguments in both engines, so the scored ranking is
+    value-checked, not approximated."""
+    from ..operators.text import pmi_bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    out = pmi_bigrams(d, min_count=5)
+    w = Window.orderBy(
+        F.round("pmi", 6).desc(), F.col("w1"), F.col("w2")
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 30)
+        .select("w1", "w2", "c_ab", F.round("pmi", 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
+@register(
+    "q133_dbscan_cosine",
+    f"""
+    WITH RECURSIVE pairs AS ({_cos_pairs_sql(0.35)}
+    ), sym AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    ), deg AS (
+      SELECT a AS v, COUNT(*) AS nn FROM sym GROUP BY a
+    ), core AS (
+      SELECT v FROM deg WHERE nn + 1 >= 3
+    ), ce AS (
+      SELECT s.a, s.b FROM sym s
+      JOIN core c1 ON s.a = c1.v JOIN core c2 ON s.b = c2.v
+    ), reach AS (
+      SELECT v AS node, v AS lbl FROM core
+      UNION
+      SELECT ce.a AS node, reach.lbl
+      FROM ce JOIN reach ON ce.b = reach.node
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node
+    ), border AS (
+      SELECT s.a AS v, MIN(comp.cluster) AS cluster
+      FROM sym s JOIN comp ON s.b = comp.node
+      WHERE s.a NOT IN (SELECT v FROM core)
+      GROUP BY s.a
+    )
+    SELECT e.vec_id,
+           CASE WHEN comp.cluster IS NOT NULL THEN 'core'
+                WHEN border.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(comp.cluster, border.cluster) AS cluster
+    FROM embeddings e
+    LEFT JOIN comp ON comp.node = e.vec_id
+    LEFT JOIN border ON border.v = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def q133(spark, sf_dir):
+    """Density-based embedding clustering
+    (operators/similarity.dbscan_cosine: DBSCAN, eps = cosine 0.35,
+    min_pts = 3, deterministic min-label border assignment) composed
+    from the verified LSH pair path + connected components. The oracle
+    rebuilds core/border/noise roles and cluster labels from the
+    brute-force cosine graph with a recursive CTE, so the whole
+    composition — neighborhood recall, core degree cut, component
+    fixpoint, border arbitration — is value-checked per row."""
+    from ..operators.similarity import dbscan_cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        dbscan_cosine(spark, e, eps_cos=0.35, min_pts=3)
+        .orderBy("vec_id")
     )

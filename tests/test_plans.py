@@ -163,3 +163,26 @@ def test_triangle_count_plan_no_cartesian(spark):
     plan = _formatted_plan(spark, triangle_count(edges))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_plan_no_cartesian(spark):
+    """All three probes (exact-vs-seen, batch-first, band-vs-seen) are
+    equi-joins on hash keys; a nested-loop/cartesian anywhere would
+    re-pair the snapshot — the exact cost the operator exists to
+    avoid."""
+    import pyspark.sql.functions as F
+
+    from phenobert_spark.operators.dedup import incremental_dedup_status
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    plan = _formatted_plan(
+        spark,
+        incremental_dedup_status(
+            d.filter(h >= "80000000"), d.filter(h < "80000000")
+        ),
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -263,3 +263,72 @@ def test_quantized_topk_identical_vector_scores_one(spark):
     # never a crash; it must not rank above a real neighbor
     best_two = sorted(got.items(), key=lambda kv: -(kv[1] or -2))
     assert best_two[0][0] == (0, 1)
+
+
+def test_dbscan_cosine_roles_vs_replica(spark):
+    """Two dense direction-clusters + noise: roles and labels match a
+    driver-side replica of the same rules (cosine eps-graph, degree+1
+    core cut, core-core components, min-label border assignment)."""
+    import itertools
+
+    import numpy as np
+
+    from phenobert_spark.operators.similarity import dbscan_cosine
+
+    rng = np.random.RandomState(3)
+    base1 = rng.standard_normal(16)
+    base2 = rng.standard_normal(16)
+    vecs = {}
+    for i in range(5):  # cluster around base1
+        vecs[i] = base1 + 0.05 * rng.standard_normal(16)
+    for i in range(5, 9):  # cluster around base2
+        vecs[i] = base2 + 0.05 * rng.standard_normal(16)
+    for i in range(9, 12):  # isolated noise
+        vecs[i] = rng.standard_normal(16) * (i + 1)
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    eps, min_pts = 0.9, 3
+    got = {
+        r.vec_id: (r.role, r.cluster)
+        for r in dbscan_cosine(spark, df, eps_cos=eps, min_pts=min_pts).collect()
+    }
+
+    # replica on float32-rounded vectors (Spark stores array<float>)
+    v32 = {k: np.asarray(v, dtype=np.float32).astype(np.float64) for k, v in vecs.items()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    nbrs = {k: set() for k in v32}
+    for a, b in itertools.combinations(sorted(v32), 2):
+        if cos(v32[a], v32[b]) >= eps:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    core = {k for k in v32 if len(nbrs[k]) + 1 >= min_pts}
+    parent = {k: k for k in core}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in nbrs[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for k in v32:
+        if k in core:
+            want[k] = ("core", find(k))
+        else:
+            cands = [find(n) for n in nbrs[k] if n in core]
+            want[k] = ("border", min(cands)) if cands else ("noise", None)
+    assert got == want
+    # the scenario is non-degenerate: both clusters and noise exist
+    roles = {r for r, _ in got.values()}
+    assert roles == {"core", "border", "noise"} or roles == {"core", "noise"}
+    assert len({c for r, c in got.values() if r == "core"}) == 2

@@ -120,3 +120,30 @@ def test_repetition_scores_hand_cases(spark):
     r4 = rows[4]  # single token: no gram positions at either width
     assert (r4.n_tokens, r4.ttr, r4.top_word_frac) == (1, 1.0, 1.0)
     assert r4.top_ngram_frac == 0.0 and r4.dup_ngram_frac == 0.0
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from phenobert_spark.operators.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a c a c a c")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.w1, r.w2): r
+        for r in pmi_bigrams(docs, min_count=2).collect()
+    }
+    # unigrams: a=6, b=3, c=3, N_uni=12; bigrams per doc: 5 -> N_bi=10
+    # counts: (a,b)=3 (b,a)=2 (a,c)=3 (c,a)=2
+    assert got[("a", "b")].c_ab == 3
+    assert got[("b", "a")].c_ab == 2
+
+    def pmi(cab, c1, c2):
+        return math.log((cab / 10) / ((c1 / 12) * (c2 / 12)))
+
+    assert abs(got[("a", "b")].pmi - pmi(3, 6, 3)) < 1e-12
+    assert abs(got[("c", "a")].pmi - pmi(2, 3, 6)) < 1e-12
+    # min_count drops nothing here; raise it and the table shrinks
+    assert pmi_bigrams(docs, min_count=3).count() == 2
