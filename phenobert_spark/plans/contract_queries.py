@@ -3444,10 +3444,12 @@ def q130(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     scored = bm25_scores(d, ["spark", "window", "hash"])
-    w = Window.orderBy(F.round("score", 6).desc(), F.col("id"))
+    # top-k via orderBy().limit() = TakeOrderedAndProject: per-partition
+    # heaps + one k-row merge on the driver — never a SinglePartition
+    # window over the full scored corpus (plan-pinned in test_plans)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 20)
+        scored.orderBy(F.round("score", 6).desc(), F.col("id"))
+        .limit(20)
         .select(
             F.col("id").alias("doc_id"),
             F.round("score", 6).alias("bm25"),
@@ -3531,10 +3533,13 @@ def q131(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     lex_scored = bm25_scores(d, ["spark", "window"])
+    # TakeOrdered top-50 FIRST; the rank-assigning window then runs on
+    # a 50-row frame (single partition of k rows is fine at any scale)
     wl = Window.orderBy(F.round("score", 6).desc(), F.col("id"))
     lex = (
-        lex_scored.withColumn("rank", F.row_number().over(wl))
-        .filter(F.col("rank") <= 50)
+        lex_scored.orderBy(F.round("score", 6).desc(), F.col("id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wl))
         .select("id", "rank")
     )
 
@@ -3552,19 +3557,22 @@ def q131(spark, sf_dir):
         F.sqrt(dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt(dot(F.col("_qe"), F.col("_qe")))
     )
-    wd = Window.orderBy(F.round(cos, 6).desc(), F.col("vec_id"))
-    dense = (
+    dense_scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qe))
+        .withColumn("_cos", cos)
+    )
+    wd = Window.orderBy(F.round("_cos", 6).desc(), F.col("vec_id"))
+    dense = (
+        dense_scored.orderBy(F.round("_cos", 6).desc(), F.col("vec_id"))
+        .limit(50)
         .withColumn("rank", F.row_number().over(wd))
-        .filter(F.col("rank") <= 50)
         .select(F.col("vec_id").alias("id"), "rank")
     )
     fused = rrf_fuse([lex, dense], id_col="id", rank_col="rank", k=60)
-    wf = Window.orderBy(F.col("rrf").desc(), F.col("id"))
     return (
-        fused.withColumn("_rn", F.row_number().over(wf))
-        .filter(F.col("_rn") <= 20)
+        fused.orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(20)
         .select(
             F.col("id").alias("doc_id"), F.round("rrf", 8).alias("rrf")
         )

@@ -186,3 +186,17 @@ def test_incremental_dedup_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """Global top-k in the retrieval contract queries must be
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    never a SinglePartition row_number window over the full scored
+    corpus — the window form funnels every row through one reducer."""
+    from phenobert_spark.plans.contract_queries import QUERIES
+
+    plan = _formatted_plan(
+        spark, QUERIES["q130_bm25_topk"](spark, "/root/testdata/sf0.001")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
