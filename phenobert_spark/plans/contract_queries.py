@@ -3687,3 +3687,62 @@ def q133(spark, sf_dir):
         dbscan_cosine(spark, e, eps_cos=0.35, min_pts=3)
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q134_count_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type AS key,
+             epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT key, hour_start, n,
+             SUM(n::DOUBLE) OVER w AS s1,
+             SUM((n * n)::DOUBLE) OVER w AS s2,
+             COUNT(n) OVER w AS cnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY key ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT key, hour_start, n,
+             s1 / cnt AS mu,
+             sqrt(GREATEST((s2 - s1 * s1 / cnt) / (cnt - 1.0::DOUBLE),
+                           0.0::DOUBLE)) AS sigma,
+             cnt
+      FROM win
+    )
+    SELECT key, hour_start, n,
+           ROUND(CASE WHEN cnt >= 6 THEN mu END, 6) AS mu,
+           ROUND(CASE WHEN cnt >= 6 THEN sigma END, 6) AS sigma,
+           ROUND(CASE WHEN cnt >= 6 AND sigma > 0
+                      THEN (n::DOUBLE - mu) / sigma END, 6) AS z,
+           COALESCE(CASE WHEN cnt >= 6 AND sigma > 0
+                         THEN abs((n::DOUBLE - mu) / sigma) >= 3.0::DOUBLE
+                    END, false) AS is_anomaly
+    FROM scored
+    ORDER BY key, hour_start
+    """,
+)
+def q134(spark, sf_dir):
+    """Rolling z-score anomaly detection over hourly event volumes
+    (operators/anomaly.hourly_count_anomalies: trailing-24h window,
+    min 6 buckets of history, |z| >= 3): the telemetry monitor a
+    continuously-ingesting pipeline runs on itself. Statistics come
+    from exact integer window sums through a fixed IEEE expression —
+    no engine-internal stddev accumulator — so the oracle re-derives
+    every z and every flag bit-identically."""
+    from ..operators.anomaly import hourly_count_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = hourly_count_anomalies(ev, trailing=24, z_thresh=3.0, min_history=6)
+    return out.select(
+        "key",
+        "hour_start",
+        "n",
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("z", 6).alias("z"),
+        "is_anomaly",
+    ).orderBy("key", "hour_start")
