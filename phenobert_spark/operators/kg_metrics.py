@@ -359,3 +359,56 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def neighbor_mean_features(
+    edges: DataFrame,
+    feats: DataFrame,
+    id_col: str = "vec_id",
+    feat_col: str = "embedding",
+    src: str = "src",
+    dst: str = "dst",
+    include_self: bool = True,
+) -> DataFrame:
+    """One propagation layer of neighborhood feature averaging — the
+    distributed form of the GCN-style smoothing the linking stage uses
+    driver-side (linking/models.py's smoothed concept centroids, M3
+    analog; Kipf-Welling mean-aggregator): every node's output is the
+    element-wise mean of its neighbors' feature vectors (plus its own,
+    with ``include_self`` — the renormalized self-loop trick).
+
+    Returns LONG format (node, dim, mean, n_contrib): one row per
+    vector slot, which keeps the op a pure join + keyed aggregate (no
+    per-row Python, no array rebuild) and lets downstream layers chain
+    by re-grouping. Plan: the feature table joins the symmetrized edge
+    list on the neighbor key (one shuffle), posexplode is a narrow
+    generator, and the (node, dim) aggregate is map-side combinable;
+    hub skew is bounded because a degree-d node contributes d rows per
+    dim to ONE key, the classic combiner shape. Stacking k layers = k
+    such passes (the iteration structure of every message-passing
+    system, cf. Pregel/GraphX aggregateMessages).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    f = feats.select(
+        F.col(id_col).alias("_fid"), F.col(feat_col).alias("_feat")
+    )
+    contrib = sym.join(f, sym.b == f._fid).select(
+        F.col("a").alias("node"), "_feat"
+    )
+    if include_self:
+        contrib = contrib.unionByName(
+            f.select(F.col("_fid").alias("node"), "_feat")
+        )
+    flat = contrib.select(
+        "node", F.posexplode("_feat").alias("dim", "_v")
+    )
+    return flat.groupBy("node", "dim").agg(
+        (
+            F.sum(F.col("_v").cast("double"))
+            / F.count("*").cast("double")
+        ).alias("mean"),
+        F.count("*").cast("bigint").alias("n_contrib"),
+    )

@@ -3746,3 +3746,58 @@ def q134(spark, sf_dir):
         F.round("z", 6).alias("z"),
         "is_anomaly",
     ).orderBy("key", "hour_start")
+
+
+@register(
+    "q135_feature_propagation",
+    f"""
+    WITH pairs AS ({_cos_pairs_sql(0.35)}
+    ), sym AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), flat AS (
+      SELECT vec_id AS id, i - 1 AS dim,
+             floor(embedding[i]::DOUBLE * 1000000.0::DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 8) AS t(i)
+    ), contrib AS (
+      SELECT s.a AS node, f.dim, f.v FROM sym s JOIN flat f ON f.id = s.b
+      UNION ALL
+      SELECT id, dim, v FROM flat
+    )
+    SELECT node AS vec_id, dim,
+           ROUND(SUM(v)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mean,
+           COUNT(*)::BIGINT AS n_contrib
+    FROM contrib GROUP BY node, dim
+    ORDER BY vec_id, dim
+    """,
+)
+def q135(spark, sf_dir):
+    """One GCN-style feature-propagation layer
+    (operators/kg_metrics.neighbor_mean_features, mean aggregator with
+    self-loop) over the cosine>=0.35 neighbor graph, on fixed-point
+    features (floor(x * 1e6) — integer sums are order-independent, so
+    the per-dimension means are cross-engine exact; first 8 dims
+    exposed). The distributed twin of the linking stage's smoothed
+    concept centroids (M3 analog)."""
+    from ..operators.kg_metrics import neighbor_mean_features
+    from ..operators.similarity import cosine_neardup_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_lsh(
+        spark, e, threshold=0.35, n_planes=64, band_bits=2
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    fp = e.select(
+        "vec_id",
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda v: F.floor(v.cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        ).alias("fp"),
+    )
+    out = neighbor_mean_features(pairs, fp, feat_col="fp")
+    return out.select(
+        F.col("node").alias("vec_id"),
+        "dim",
+        F.round("mean", 6).alias("mean"),
+        "n_contrib",
+    ).orderBy("vec_id", "dim")

@@ -177,3 +177,56 @@ def test_label_propagation_barbell_and_isolated(spark):
     assert got[4] == got[5] == got[6]
     assert got[1] != got[4]
     assert got[99] == 99
+
+
+def test_neighbor_mean_features_hand_computed(spark):
+    import pyspark.sql.functions as F
+
+    from phenobert_spark.operators.kg_metrics import neighbor_mean_features
+
+    feats = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [20.0, 2.0]), (3, [30.0, 4.0]), (4, [100.0, 8.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    got = {
+        (r.node, r.dim): (r.mean, r.n_contrib)
+        for r in neighbor_mean_features(edges, feats).collect()
+    }
+    # node 1: self + {2} -> (10+20)/2; node 2: self + {1,3} -> 20;
+    # node 4: isolated, self only
+    assert got[(1, 0)] == (15.0, 2)
+    assert got[(2, 0)] == (20.0, 3)
+    assert got[(2, 1)] == (2.0, 3)
+    assert got[(3, 0)] == (25.0, 2)
+    assert got[(4, 0)] == (100.0, 1)
+
+    # without self-loops, isolated nodes disappear and means shift
+    got2 = {
+        (r.node, r.dim): (r.mean, r.n_contrib)
+        for r in neighbor_mean_features(
+            edges, feats, include_self=False
+        ).collect()
+    }
+    assert got2[(1, 0)] == (20.0, 1)
+    assert got2[(2, 0)] == (20.0, 2)
+    assert (4, 0) not in got2
+
+    # chaining two layers = re-grouping the long output back to arrays
+    layer1 = (
+        neighbor_mean_features(edges, feats)
+        .groupBy("node")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean"))
+            ).alias("_s")
+        )
+        .select(
+            F.col("node").alias("vec_id"),
+            F.transform("_s", lambda s: s["mean"]).alias("embedding"),
+        )
+    )
+    layer2 = neighbor_mean_features(edges, layer1)
+    assert layer2.filter("node = 1 and dim = 0").first().mean == 17.5
