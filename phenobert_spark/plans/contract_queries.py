@@ -20,9 +20,12 @@ Coverage map (operator ids from SURVEY.md §2):
   dedup clustering q98 (connected components vs recursive-CTE oracle)
   split/sample q99 (hash_split/hash_sample, portable md5 thresholds)
   sketches q120 (HLL), q121 (histogram quantiles), q128 (count-min)
-  graph q122 (BFS), q123 (triangles), q127 (label propagation)
+  graph q122 (BFS), q123 (triangles), q127 (label propagation),
+  q129 (weighted SSSP), q135 (GCN-style feature propagation)
   incremental dedup q124  weighted sampling q125
   embedding dedup clustering q126 (LSH pairs -> components)
+  q133 (cosine DBSCAN)  retrieval q130 (BM25), q131 (RRF fusion)
+  text stats q132 (PMI collocations)  monitoring q134 (rolling z-score)
 """
 
 from __future__ import annotations
