@@ -337,3 +337,48 @@ def weighted_order_sample(
             .drop("_rn")
         )
     return guarded.orderBy("priority", F.col(id_col)).limit(k)
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1996): every key goes to the shard with the highest
+    md5(key # shard) score. The property that matters at corpus scale
+    is MINIMAL MOVEMENT under elastic resharding: growing n -> n+1
+    moves exactly the keys whose new shard wins the argmax —
+    1/(n+1) of the corpus in expectation — while modulo hashing
+    (key % n) reshuffles almost everything. That is how a 100-TB
+    layout adds capacity without a full rewrite, and the assignment
+    stays a pure function of (key, salt): any engine re-derives it
+    (q136's oracle does), shards can be audited independently, and a
+    backfill lands rows exactly where the original run put them.
+
+    One narrow projection — the argmax folds an n_shards-literal
+    struct array per row JVM-side (sensible for n up to a few
+    thousand shards; no shuffle, no UDF, no RNG).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.col(id_col).cast("string")
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda i: F.struct(
+            F.substring(
+                F.md5(
+                    F.concat(key, F.lit(salt + "#"), i.cast("string"))
+                ),
+                1,
+                8,
+            ).alias("s"),
+            i.alias("i"),
+        ),
+    )
+    # struct max = lexicographic (score, shard): md5-score ties (a
+    # 2^-32 event) resolve to the larger shard id, mirrored in the
+    # oracle's ORDER BY s DESC, i DESC
+    return df.withColumn(out_col, F.array_max(scored).getField("i"))

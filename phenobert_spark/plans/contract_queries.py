@@ -3804,3 +3804,56 @@ def q135(spark, sf_dir):
         F.round("mean", 6).alias("mean"),
         "n_contrib",
     ).orderBy("vec_id", "dim")
+
+
+@register(
+    "q136_rendezvous_resharding",
+    """
+    WITH a10 AS (
+      SELECT doc_id, i AS shard FROM (
+        SELECT doc_id, i,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY substr(md5(doc_id::VARCHAR || '#' || i), 1, 8)
+                          DESC, i DESC) AS rn
+        FROM documents CROSS JOIN generate_series(0, 9) t(i)
+      ) WHERE rn = 1
+    ), a11 AS (
+      SELECT doc_id, i AS shard FROM (
+        SELECT doc_id, i,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY substr(md5(doc_id::VARCHAR || '#' || i), 1, 8)
+                          DESC, i DESC) AS rn
+        FROM documents CROSS JOIN generate_series(0, 10) t(i)
+      ) WHERE rn = 1
+    )
+    SELECT a10.doc_id, a10.shard AS shard_10, a11.shard AS shard_11,
+           (a10.shard <> a11.shard) AS moved
+    FROM a10 JOIN a11 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q136(spark, sf_dir):
+    """Rendezvous-hash shard assignment under elastic resharding
+    (operators/sampling.rendezvous_assign): every doc's shard at
+    n = 10 and n = 11, plus the moved flag. Minimal-movement law:
+    a key moves iff the NEW shard wins its argmax, so only ~1/11 of
+    docs move (asserted in tests) — the stable-layout property a
+    100-TB corpus needs to add capacity without a rewrite. The oracle
+    re-derives both argmax assignments per row."""
+    from ..operators.sampling import rendezvous_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a10 = rendezvous_assign(d, 10, out_col="shard_10")
+    a11 = rendezvous_assign(d, 11, out_col="shard_11")
+    return (
+        a10.join(a11, on="doc_id")
+        .select(
+            "doc_id",
+            "shard_10",
+            "shard_11",
+            (F.col("shard_10") != F.col("shard_11")).alias("moved"),
+        )
+        .orderBy("doc_id")
+    )

@@ -222,3 +222,46 @@ def test_weighted_order_sample_rejects_bad_weight(spark):
     )
     with pytest.raises(Exception, match="non-positive weight"):
         weighted_order_sample(df, "w", 5).collect()
+
+
+def test_rendezvous_minimal_movement_and_determinism(spark):
+    import hashlib
+
+    from phenobert_spark.operators.sampling import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    a10 = {r.doc_id: r.shard for r in rendezvous_assign(df, 10).collect()}
+    a11 = {r.doc_id: r.shard for r in rendezvous_assign(df, 11).collect()}
+
+    # python replica of the argmax (score desc, shard desc on ties)
+    def assign(k, n):
+        return max(
+            range(n),
+            key=lambda i: (
+                hashlib.md5(f"{k}#{i}".encode()).hexdigest()[:8],
+                i,
+            ),
+        )
+
+    assert a10 == {k: assign(k, 10) for k in range(2000)}
+
+    # minimal movement: a key moves iff shard 10 wins its argmax,
+    # so EXACTLY the keys whose n=11 assignment is the new shard
+    moved = {k for k in a10 if a10[k] != a11[k]}
+    assert moved == {k for k in a11 if a11[k] == 10}
+    # ~1/11 of keys in expectation (2000 draws, generous 3-sigma band)
+    assert 120 <= len(moved) <= 250, len(moved)
+
+    # balanced: each shard gets ~200 of 2000 keys
+    from collections import Counter
+
+    counts = Counter(a10.values())
+    assert set(counts) == set(range(10))
+    assert min(counts.values()) > 130 and max(counts.values()) < 280
+
+    # salt derives an independent layout
+    salted = {
+        r.doc_id: r.shard
+        for r in rendezvous_assign(df, 10, salt="s1").collect()
+    }
+    assert salted != a10
