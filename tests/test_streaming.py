@@ -408,3 +408,52 @@ def test_windowed_hll_stream_matches_batch_registers(spark, tmp_path):
     # append mode only emits watermark-finalized windows
     assert got <= want
     assert len(got) > 0
+
+
+def test_windowed_countmin_stream_matches_batch_cells(spark, tmp_path):
+    """Streaming per-window count-min cells equal the batch
+    countmin_table grouped by the same window start (q128 kernel)."""
+    from phenobert_spark.operators.sketches import countmin_table
+    from phenobert_spark.streaming.incremental import windowed_countmin_rollup
+
+    all_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # cap to the earliest few hours: the batch twin below runs one
+    # countmin_table per distinct hour, and 70 hours = 70 Spark jobs
+    lo = all_events.agg(F.min("ts")).first()[0]
+    import datetime as dt
+
+    events = all_events.filter(
+        F.col("ts") < F.lit(lo + dt.timedelta(hours=4))
+    )
+    in_dir = str(tmp_path / "ev_cms")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        windowed_countmin_rollup(stream, depth=3, width_bits=8)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    run_stream_to_completion(q)
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from cms_stream_test").collect()
+    }
+    hourly = events.withColumn(
+        "hour_start",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))),
+    )
+    want = set()
+    for h in [r.hour_start for r in hourly.select("hour_start").distinct().collect()]:
+        cells = countmin_table(
+            hourly.filter(F.col("hour_start") == h),
+            "user_id",
+            depth=3,
+            width_bits=8,
+        ).collect()
+        want |= {(h, r.row, r.bucket, r.c) for r in cells}
+    assert got <= want  # append emits only watermark-finalized windows
+    assert len(got) > 0
