@@ -412,3 +412,80 @@ def neighbor_mean_features(
         ).alias("mean"),
         F.count("*").cast("bigint").alias("n_contrib"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set):
+    rank_{i+1}(v) = (1-d) * reset(v) + d * sum_u rank_i(u)/out_deg(u),
+    reset uniform over ``seeds`` and zero elsewhere, start = reset.
+    The standard KG relatedness query — "which concepts/entities are
+    close to THIS seed set" (query-biased entity ranking, related-
+    concept expansion) — where global :func:`pagerank` answers "which
+    nodes are central overall". Fixed ``iters`` from a deterministic
+    start, same discipline as q113, so q137's oracle unrolls the
+    identical arithmetic; dangling mass is dropped, as in
+    :func:`pagerank` (documented simplification).
+
+    Plan per iteration: identical shape to :func:`pagerank` (one
+    rank-onto-edges equi-join + one dst-keyed aggregate + a node-set
+    left join); the reset vector is a broadcast-joined flag column
+    computed once.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    reset = F.when(
+        F.col("_is_seed"), F.lit(1.0) / F.lit(float(n_seeds))
+    ).otherwise(F.lit(0.0))
+    nodes = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(True))),
+            on="node",
+            how="left",
+        )
+        .select(
+            "node",
+            F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("_s").agg(F.count("*").alias("_od"))
+    ed = e.join(deg, on="_s").localCheckpoint(eager=True)
+    rank = nodes.select("node", reset.alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(rank.withColumnRenamed("node", "_s"), on="_s")
+            .groupBy(F.col("_t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_od")).alias("_in"))
+        )
+        rank = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * reset
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank

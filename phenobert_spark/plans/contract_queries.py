@@ -3857,3 +3857,73 @@ def q136(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _ppr_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank (restart to seeds {R0, R1}) on
+    the REVERSED taxonomy (region -> nation -> supplier), q113's
+    chained-CTE pattern with a seed-restricted reset vector."""
+    head = """
+    WITH edges AS (
+      SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+      UNION ALL
+      SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), rst AS (
+      SELECT node,
+             CASE WHEN node IN ('R0', 'R1')
+                  THEN 1.0 / 2.0 ELSE 0.0 END AS reset
+      FROM nodes
+    ), deg AS (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY src
+    ), ed AS (SELECT e.src, e.dst, d.od FROM edges e JOIN deg d USING (src)
+    ), r0 AS (SELECT node, reset AS pr FROM rst)
+    """
+    steps = "".join(
+        f""", r{i} AS (
+      SELECT n.node,
+             (1 - {damping}) * n.reset
+               + {damping} * COALESCE(SUM(r.pr / e.od), 0) AS pr
+      FROM rst n
+      LEFT JOIN ed e ON e.dst = n.node
+      LEFT JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY n.node, n.reset
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+    SELECT node, ROUND(pr, 8) AS pr FROM r{iters} ORDER BY node
+    """
+    )
+
+
+@register("q137_personalized_pagerank", _ppr_oracle())
+def q137(spark, sf_dir):
+    """Personalized PageRank (operators/kg_metrics.personalized_
+    pagerank): random walk with restart to the seed regions {R0, R1}
+    over the reversed taxonomy, i.e. "which nations/suppliers are
+    related to THESE regions" — the query-biased relatedness ranking a
+    KG serves, next to q113's global centrality. Same fixed-iteration
+    determinism; the oracle unrolls the identical arithmetic with the
+    seed-restricted reset vector."""
+    from ..operators.kg_metrics import personalized_pagerank
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = n.select(
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("dst"),
+        )
+    )
+    seeds = spark.createDataFrame([("R0",), ("R1",)], "node string")
+    out = personalized_pagerank(edges, seeds, damping=0.85, iters=5)
+    return out.select(
+        "node", F.round("rank", 8).alias("pr")
+    ).orderBy("node")

@@ -230,3 +230,37 @@ def test_neighbor_mean_features_hand_computed(spark):
     )
     layer2 = neighbor_mean_features(edges, layer1)
     assert layer2.filter("node = 1 and dim = 0").first().mean == 17.5
+
+
+def test_personalized_pagerank_localizes_to_seed(spark):
+    from phenobert_spark.operators.kg_metrics import personalized_pagerank
+
+    # two disconnected stars: seed in star A -> star B gets zero mass
+    edges = spark.createDataFrame(
+        [("a", "a1"), ("a", "a2"), ("b", "b1"), ("b", "b2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, iters=4).collect()
+    }
+    assert got["a"] > got["a1"] > 0
+    assert abs(got["a1"] - got["a2"]) < 1e-15
+    assert got["b"] == 0.0 and got["b1"] == 0.0
+
+    # exact closed form: reset(a)=1; rank_i(a) = 0.15 for i>=1;
+    # rank_i(a1) = 0.85 * rank_{i-1}(a) / 2
+    assert abs(got["a"] - 0.15) < 1e-12
+    assert abs(got["a1"] - 0.85 * 0.15 / 2) < 1e-12
+
+
+def test_personalized_pagerank_requires_seeds(spark):
+    import pytest
+
+    from phenobert_spark.operators.kg_metrics import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, empty)
