@@ -53,7 +53,12 @@ def asof_join(
         right_cols = [c for c in right.columns if c != key]
     if ts not in right_cols:
         right_cols = [ts] + right_cols
-    tiebreak = tiebreak or next(c for c in right_cols if c != ts)
+    # A ts-only right frame (carry just matched_ts) is legitimate: the
+    # window's _t ordering already breaks its ties, so ts itself is a
+    # valid fallback tiebreak instead of an opaque StopIteration.
+    tiebreak = tiebreak or next(
+        (c for c in right_cols if c != ts), ts
+    )
 
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_p")
     r = right.select(

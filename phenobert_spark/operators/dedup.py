@@ -193,11 +193,16 @@ def lsh_star_edges(
 
     Plan: one window-min per band over the bucket key + a filter — one
     shuffle per band, no self-join at all. Band keys are 8-byte
-    xxhash64 (salted with the band index), not 32-byte md5 hex — the
-    band shuffle is the corpus-sized wire cost here, and bucket
-    equality only needs a collision-free-w.h.p. key, not a stable hex
-    digest (unlike lsh_candidate_pairs, whose md5 banding is pinned by
-    the q17 oracle).
+    xxhash64, not 32-byte md5 hex — the band shuffle is the
+    corpus-sized wire cost here, and bucket equality only needs a
+    collision-free key, not a stable hex digest (unlike
+    lsh_candidate_pairs, whose md5 banding is pinned by the q17
+    oracle). The band INDEX rides along as a separate 1-byte grouping
+    column rather than being folded into the hash: buckets from
+    different bands then live in disjoint keyspaces, so the birthday
+    pool is per-band (n docs, not n x bands) and a 64-bit key holds
+    its collision bound at ~10^10-doc scale instead of sharing one
+    pool across every band.
     """
     from pyspark.sql import Window
 
@@ -208,9 +213,13 @@ def lsh_star_edges(
     sig = signatures.localCheckpoint(eager=False)  # don't re-derive per branch
     banded = None
     for i, cols in enumerate(bands):
-        b = sig.select("doc_id", F.xxhash64(F.lit(i), *cols).alias("band"))
+        b = sig.select(
+            "doc_id",
+            F.lit(i).cast("int").alias("band_idx"),
+            F.xxhash64(*cols).alias("band"),
+        )
         banded = b if banded is None else banded.unionByName(b)
-    rep = F.min("doc_id").over(Window.partitionBy("band"))
+    rep = F.min("doc_id").over(Window.partitionBy("band_idx", "band"))
     return (
         banded.select("doc_id", rep.alias("rep"))
         .filter(F.col("doc_id") != F.col("rep"))

@@ -36,15 +36,33 @@ def funnel(
 
     ``max_span``: optional Column interval (e.g.
     ``F.expr("INTERVAL 1 HOUR")``); later stages must match within
-    ``t1 + max_span`` (the ClickHouse window semantics).
+    ``anchor + max_span`` where the anchor may be ANY stage-1 event of
+    the user, not only the earliest (the ClickHouse windowFunnel
+    semantics: a user whose first window fails but whose later stage-1
+    event opens a completing window still converts). Per user the
+    deepest chain wins; the earliest anchor breaks depth ties.
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
-    out = (
-        events.filter(F.col(type_col) == stages[0])
-        .groupBy(F.col(user_col).alias("user_id"))
-        .agg(F.min(ts_col).alias("t1"))
-    )
+    stage1 = events.filter(F.col(type_col) == stages[0])
+    if max_span is None:
+        # No window constraint: the earliest stage-1 event dominates
+        # every later anchor (each chained min is monotone in the
+        # previous match time), so one anchor per user is exact.
+        out = stage1.groupBy(F.col(user_col).alias("user_id")).agg(
+            F.min(ts_col).alias("t1")
+        )
+        anchor_keys = ["user_id"]
+    else:
+        # Windowed: every stage-1 event is a candidate anchor. Work per
+        # stage join scales with stage-1 multiplicity instead of user
+        # count — still keyed on the user, so co-partitioning across
+        # stages is preserved; hot users with many anchors are the same
+        # rows a per-user sort-window would have concentrated anyway.
+        out = stage1.select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("t1")
+        ).distinct()
+        anchor_keys = ["user_id", "t1"]
     for k, stage in enumerate(stages[1:], start=2):
         ev = events.filter(F.col(type_col) == stage).select(
             F.col(user_col).alias("user_id"), F.col(ts_col).alias("_t")
@@ -53,12 +71,32 @@ def funnel(
         if max_span is not None:
             cond = cond & (F.col("_t") <= F.col("t1") + max_span)
         nxt = (
-            ev.join(out.select("user_id", "t1", f"t{k - 1}"), on="user_id")
+            ev.join(
+                out.select(
+                    *dict.fromkeys(["user_id", "t1", f"t{k - 1}"])
+                ),
+                on="user_id",
+            )
             .filter(cond)
-            .groupBy("user_id")
+            .groupBy(*anchor_keys)
             .agg(F.min("_t").alias(f"t{k}"))
         )
-        out = out.join(nxt, on="user_id", how="left")
+        out = out.join(nxt, on=anchor_keys, how="left")
+    if max_span is not None:
+        from pyspark.sql import Window
+
+        depth = sum(
+            F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)
+            for k in range(1, len(stages) + 1)
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            depth.desc(), F.col("t1").asc()
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return out
 
 

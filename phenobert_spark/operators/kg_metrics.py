@@ -439,14 +439,19 @@ def personalized_pagerank(
     computed once.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_t").alias("node")))
-        .distinct()
-    )
     seed_nodes = seeds.select(
         F.col(seeds.columns[0]).alias("node")
     ).distinct()
+    # The node universe is edges ∪ seeds: a seed with no incident edge
+    # still owns 1/n_seeds of the reset mass and must appear in the
+    # output rank vector (otherwise its mass silently vanishes and
+    # every other rank is deflated).
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .unionByName(seed_nodes)
+        .distinct()
+    )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed")

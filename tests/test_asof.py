@@ -108,3 +108,17 @@ def test_asof_no_range_join_in_plan(spark, frames):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_ts_only_right_frame(spark, frames):
+    # right frame carrying ONLY (key, ts): matched_ts is the whole
+    # payload; tiebreak falls back to ts itself instead of raising.
+    left, right = frames
+    out = {
+        r.event_id: r.matched_ts
+        for r in asof_join(left, right.select("user_id", "ts")).collect()
+    }
+    assert out[100] == _ts(40)
+    assert out[101] is None
+    assert out[102] == _ts(40)
+    assert out[103] is None

@@ -74,6 +74,30 @@ def test_funnel_max_span_window(spark):
     assert out[2] == _ts(3000)     # inside the window
 
 
+def test_funnel_max_span_later_anchor_converts(spark):
+    # ClickHouse windowFunnel semantics: the user's FIRST window fails
+    # (purchase lands outside view@0 + 1h) but a second stage-1 event
+    # opens a window whose chain completes — the user still converts,
+    # anchored at the later view.
+    ev = _events(
+        spark,
+        [(1, 0, "view"), (1, 3000, "view"), (1, 3100, "click"),
+         (1, 4000, "purchase"),
+         # deeper-chain-wins tiebreak: view@0 reaches only click,
+         # view@100's window completes all three stages
+         (2, 0, "view"), (2, 50, "click"), (2, 100, "view"),
+         (2, 200, "click"), (2, 3650, "purchase")],
+    )
+    out = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in funnel(
+            ev, STAGES, max_span=F.expr("INTERVAL 1 HOUR")
+        ).collect()
+    }
+    assert out[1] == (_ts(3000), _ts(3100), _ts(4000))
+    assert out[2] == (_ts(100), _ts(200), _ts(3650))
+
+
 def test_funnel_counts(spark):
     ev = _events(
         spark,

@@ -264,3 +264,24 @@ def test_personalized_pagerank_requires_seeds(spark):
     empty = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError, match="seed"):
         personalized_pagerank(edges, empty)
+
+
+def test_personalized_pagerank_isolated_seed_keeps_mass(spark):
+    from phenobert_spark.operators.kg_metrics import personalized_pagerank
+
+    # seed "z" has no incident edge: it must still appear in the rank
+    # vector holding its (1-d)/n_seeds reset mass, and the connected
+    # seed's ranks must be computed against n_seeds=2 (not silently 1).
+    edges = spark.createDataFrame(
+        [("a", "a1"), ("a", "a2")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, iters=4).collect()
+    }
+    assert "z" in got
+    # z only ever receives its reset share: (1-0.85) * 1/2
+    assert abs(got["z"] - 0.15 / 2) < 1e-12
+    assert abs(got["a"] - 0.15 / 2) < 1e-12
+    assert abs(got["a1"] - 0.85 * (0.15 / 2) / 2) < 1e-12
