@@ -4,8 +4,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-plus (stderr) docs/sec for the flagship pipeline. Scaling-efficiency
-evidence across parallelism levels lives in bench_scaling.py.
+Protocol (round 5): this shared VM's co-tenant load swings single-window
+benches up to 2x (BENCH_SCALING.md), which made round-4's single-JVM
+artifact unusable as a trend signal. The suite therefore runs in up to
+$SPARK_GRAFT_BENCH_JVMS (default 3) FRESH JVM subprocesses — the same
+fresh-JVM windowing bench_scaling.py uses — each recording
+/proc/loadavg before and after; the per-query estimator is the minimum
+across all windows (identical treatment for every query), and the
+artifact carries every window's samples + loadavg so a noisy run is
+self-describing. Windows stop early once a quiet one (loadavg < 2.0)
+has been observed.
+
+Scaling-efficiency evidence across parallelism levels lives in
+bench_scaling.py / bench_dedup_scaling.py.
 """
 
 from __future__ import annotations
@@ -13,15 +24,21 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0"))
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
 
+def loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def run_window() -> dict:
+    """One fresh-JVM bench window: every headline query, best-of-N
+    in-JVM repeats, with loadavg bracketing."""
     from pyspark.sql import functions as F
 
     from phenobert_spark.config import PipelineConfig, get_spark
@@ -29,29 +46,19 @@ def main() -> None:
     from phenobert_spark.pipeline import annotate
     from phenobert_spark.plans.contract_queries import QUERIES
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="phenobert-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + Python workers + broadcast machinery (one tiny
-    # pipeline run so the flagship timing reflects steady state)
+    # warm-up: JVM + Python workers + broadcast machinery
     spark.range(1_000_000).select(F.sum("id")).collect()
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-
-    def loadavg() -> float:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-
     load_start = loadavg()
 
     def run(name, fn, repeats: int = n_repeats):
-        # best-of-N (default 3): cross-invocation variance on this
-        # shared VM is ~2x (noisy neighbors); the minimum is the
-        # steady-state estimator, applied identically to every query.
-        # The full sample list ships in the JSON so the artifact is
-        # self-describing about its noise floor.
         ts = []
         for _ in range(repeats):
             t0 = time.time()
@@ -72,7 +79,10 @@ def main() -> None:
     )
     n_docs = raw.count()
     annotate(spark, docs.limit(64), onto, PipelineConfig()).count()  # warm-up
-    run("hpo_annotate", lambda: annotate(spark, docs, onto, PipelineConfig()).count())
+    run(
+        "hpo_annotate",
+        lambda: annotate(spark, docs, onto, PipelineConfig()).count(),
+    )
 
     headline = [
         "q01_pricing_summary",
@@ -85,15 +95,62 @@ def main() -> None:
         "q22_dict_match_maximal",
         "q24_event_hourly_rollup",
     ]
-    # JIT/codegen warm-up at the smallest SF (same practice as the
-    # flagship warm-up above): the measurement below is steady-state.
+    # JIT/codegen warm-up at the smallest SF: measurements are
+    # steady-state.
     for qname in headline:
         QUERIES[qname](spark, "/root/testdata/sf0.001").count()
     for qname in headline:
         fn = QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 
+    spark.stop()
+    return {
+        "timings": timings,
+        "samples": samples,
+        "n_docs": n_docs,
+        "loadavg_start": load_start,
+        "loadavg_end": loadavg(),
+        "repeats": n_repeats,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    max_windows = int(os.environ.get("SPARK_GRAFT_BENCH_JVMS", "3"))
+    windows: list[dict] = []
+    for i in range(max_windows):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--window"],
+            capture_output=True,
+            text=True,
+        )
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"bench window {i} failed")
+        w = json.loads(out.stdout.strip().splitlines()[-1])
+        windows.append(w)
+        quiet = max(w["loadavg_start"], w["loadavg_end"]) < QUIET_LOAD
+        print(
+            f"window {i}: total "
+            f"{round(sum(w['timings'].values()), 3)}s, loadavg "
+            f"{w['loadavg_start']}->{w['loadavg_end']}"
+            f"{' (quiet)' if quiet else ''}",
+            file=sys.stderr,
+        )
+        if quiet and i >= 1:
+            break  # >=2 windows, one of them quiet: enough signal
+
+    # Per-query minimum across all fresh-JVM windows — the steady-state
+    # estimator under co-tenant noise, applied identically everywhere.
+    names = list(windows[0]["timings"])
+    timings = {
+        n: min(w["timings"][n] for w in windows) for n in names
+    }
     total = round(sum(timings.values()), 3)
+    n_docs = windows[0]["n_docs"]
     docs_per_sec = round(n_docs / timings["hpo_annotate"], 2)
     print(
         f"hpo_annotate: {n_docs} docs in {timings['hpo_annotate']}s "
@@ -109,15 +166,24 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
-                "samples": samples,
-                "loadavg_start": load_start,
-                "loadavg_end": loadavg(),
-                "repeats": n_repeats,
+                "n_windows": len(windows),
+                "windows": [
+                    {
+                        "timings": w["timings"],
+                        "samples": w["samples"],
+                        "loadavg_start": w["loadavg_start"],
+                        "loadavg_end": w["loadavg_end"],
+                    }
+                    for w in windows
+                ],
+                "repeats": windows[0]["repeats"],
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--window" in sys.argv:
+        print(json.dumps(run_window()))
+    else:
+        main()

@@ -1,0 +1,129 @@
+"""spark-submit entry point: graph analytics over the engine's OWN
+knowledge graph (the materialized triple table), not contract fixtures.
+
+    spark-submit --master <cluster> --py-files phenobert_spark.zip \
+        jobs/kg_metrics.py \
+        --triples <parquet of (doc_id, hpo_id[, ...]) triples> \
+        --output  <dir> \
+        [--iters 5] [--lpa-iters 3] [--seeds HP:0000001,HP:...]
+        [--top-ic-seeds 10] [--ontology reference|fixture]
+
+Composes the verified graph-metric family (operators/kg_metrics.py,
+q109/q113/q127/q137 contract queries) into the one-pass report a KG
+consumer runs after construction:
+
+    <output>/concept_ic/   IC(c) = -ln(df(c or descendant)/N) per
+                           concept (annotation-frequency information
+                           content, the Resnik/Lin building block)
+    <output>/pagerank/     global centrality over the doc->concept
+                           annotation edges UNION the concept->parent
+                           ontology edges (fixed-iteration, exactly the
+                           q113-verified arithmetic)
+    <output>/communities/  deterministic label-propagation communities
+                           over the same bipartite+taxonomy graph
+    <output>/ppr/          personalized PageRank from --seeds (or, by
+                           default, the --top-ic-seeds most-annotated
+                           concepts) — "what is related to THESE
+                           phenotypes" relatedness ranking
+
+Scale shape: the ontology (18k concepts) is the broadcast-able dim —
+its ancestor closure is built driver-side from the already-loaded
+ontology object and broadcast, never via a distributed fixpoint over
+the corpus. Every iteration of the rank/label loops is one
+rank-onto-edges equi-join + one dst-keyed aggregate, the q113-pinned
+plan; the corpus-sized annotation edge table is scanned, never
+collected.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None, spark=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--triples", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--lpa-iters", type=int, default=3)
+    p.add_argument("--seeds", default=None)
+    p.add_argument("--top-ic-seeds", type=int, default=10)
+    p.add_argument(
+        "--ontology", choices=["reference", "fixture"], default="reference"
+    )
+    args = p.parse_args(argv)
+
+    from phenobert_spark.config import get_spark
+    from phenobert_spark.ontology import fixture_ontology, get_ontology
+    from phenobert_spark.operators.kg_metrics import (
+        concept_information_content,
+        label_propagation,
+        pagerank,
+        personalized_pagerank,
+    )
+
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="kg-metrics")
+    onto = (
+        fixture_ontology() if args.ontology == "fixture" else get_ontology()
+    )
+
+    triples = spark.read.parquet(args.triples)
+    ann = triples.select("doc_id", F.col("hpo_id").alias("concept"))
+
+    # Ontology-side closure: driver BFS over the (small, broadcast-able)
+    # taxonomy — the J6 discipline the pipeline itself uses; the
+    # distributed fixpoint (operators/closure.transitive_closure) is for
+    # graphs that do NOT fit the driver.
+    closure_rows = [
+        (node, anc)
+        for node, ancs in onto.ancestors().items()
+        for anc in ancs | {node}
+    ]
+    closure_self = spark.createDataFrame(
+        closure_rows, "node string, anc string"
+    )
+
+    ic = concept_information_content(
+        ann, closure_self, concept_col="concept"
+    ).localCheckpoint(eager=True)
+    ic.write.mode("overwrite").parquet(f"{args.output}/concept_ic")
+
+    onto_edges = onto.edges_df(spark).select(
+        F.col("child").alias("src"), F.col("parent").alias("dst")
+    )
+    edges = ann.select(
+        F.col("doc_id").alias("src"), F.col("concept").alias("dst")
+    ).unionByName(onto_edges)
+
+    pagerank(edges, iters=args.iters).write.mode("overwrite").parquet(
+        f"{args.output}/pagerank"
+    )
+    label_propagation(edges, iters=args.lpa_iters).write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/communities")
+
+    if args.seeds:
+        seeds = spark.createDataFrame(
+            [(s,) for s in args.seeds.split(",")], "node string"
+        )
+    else:
+        # deterministic default: the most-annotated concepts
+        seeds = (
+            ic.orderBy(F.desc("n_docs"), "concept")
+            .limit(args.top_ic_seeds)
+            .select(F.col("concept").alias("node"))
+        )
+    personalized_pagerank(edges, seeds, iters=args.iters).write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/ppr")
+
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

