@@ -132,7 +132,10 @@ def main() -> None:
             raise SystemExit(f"bench window {i} failed")
         w = json.loads(out.stdout.strip().splitlines()[-1])
         windows.append(w)
-        quiet = max(w["loadavg_start"], w["loadavg_end"]) < QUIET_LOAD
+        # quiet = co-tenant load low when the window STARTED; the end
+        # reading is dominated by this bench's own executors and is
+        # recorded for the artifact, not gated on.
+        quiet = w["loadavg_start"] < QUIET_LOAD
         print(
             f"window {i}: total "
             f"{round(sum(w['timings'].values()), 3)}s, loadavg "

