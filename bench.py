@@ -103,6 +103,20 @@ def run_window() -> dict:
         fn = QUERIES[qname]
         run(qname, lambda fn=fn: fn(spark, sf_dir).count())
 
+    # KG graph-metrics family (jobs/kg_metrics.py composition) at
+    # corpus scale: PageRank over the lineitem-derived bipartite
+    # annotation graph (~600k edges at sf0.1) — the iterative
+    # join+aggregate loop the kg job runs over materialized triples.
+    from phenobert_spark.operators.kg_metrics import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kg_edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    pagerank(kg_edges.limit(1000), iters=1).count()  # warm-up
+    run("kg_pagerank", lambda: pagerank(kg_edges, iters=3).count())
+
     spark.stop()
     return {
         "timings": timings,
