@@ -494,3 +494,271 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return rank
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    table, FIXED iteration count from the all-ones start, L1 (sum)
+    normalization after every half-step. Returns (node, hub, auth).
+
+    L1 rather than the textbook L2 normalization is deliberate: both
+    contract engines then evaluate only +,/ over the same operands
+    (sqrt of a global float sum is the one op whose last-ulp noise a
+    ROUND cannot always absorb). Mutual reinforcement, convergence,
+    and ranking order are unchanged — L1/L2 differ by a positive
+    scalar per step, which normalization cancels at the fixpoint.
+
+    Plan per iteration: each half-step is one equi-join of the score
+    vector onto the edge list + one keyed sum + a 1-row global sum
+    (broadcast back) — the same shuffle shape as :func:`pagerank`, so
+    the 100-TB story (edge table partitioned by join key, score
+    vector node-keyed, map-side combine on the sums) carries over.
+    ``localCheckpoint`` flattens the 2*iters-join lineage.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "_s"), on="_s")
+            .groupBy(F.col("_t").alias("node"))
+            .agg(F.sum("hub").alias("_ar"))
+        )
+        a_all = nodes.join(a_raw, on="node", how="left").select(
+            "node", F.coalesce("_ar", F.lit(0.0)).alias("_ar")
+        )
+        a_sum = F.broadcast(a_all.agg(F.sum("_ar").alias("_as")))
+        auth = (
+            a_all.crossJoin(a_sum)
+            .select("node", (F.col("_ar") / F.col("_as")).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "_t"), on="_t")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("auth").alias("_hr"))
+        )
+        h_all = nodes.join(h_raw, on="node", how="left").select(
+            "node", F.coalesce("_hr", F.lit(0.0)).alias("_hr")
+        )
+        h_sum = F.broadcast(h_all.agg(F.sum("_hr").alias("_hs")))
+        hub = (
+            h_all.crossJoin(h_sum)
+            .select("node", (F.col("_hr") / F.col("_hs")).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, on="node")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of
+    degree < k from the undirected graph (self-loops and duplicate /
+    reversed edges normalized away) for exactly ``iters`` rounds;
+    return the surviving nodes with their WITHIN-CORE degree as
+    (node, core_degree). Peeling is monotone, so once the node set is
+    stable further rounds are no-ops — a fixed ``iters`` large enough
+    to converge yields the true k-core while keeping the computation
+    a deterministic unrollable function for the contract oracle
+    (q141). Production runs the same loop convergence-gated (stop
+    when the peel removes 0 nodes, one extra count per round).
+
+    Plan per round: one node-keyed degree count + one semi-join of
+    the edge table onto surviving nodes per endpoint — all narrow
+    equi-joins on node keys; no wedge materialization anywhere, so
+    hubs cost their degree, never degree^2. ``localCheckpoint``
+    flattens the per-round lineage exactly as in
+    :func:`~phenobert_spark.operators.closure.connected_components`.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        sym = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = sym.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("_deg")
+        )
+        alive = deg.filter(F.col("_deg") >= k).select("node")
+        und = (
+            und.join(alive.withColumnRenamed("node", "a"), on="a", how="semi")
+            .join(alive.withColumnRenamed("node", "b"), on="b", how="semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_cn: int = 1,
+    max_center_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over the undirected graph:
+    for every non-adjacent node pair (a < b) sharing >= ``min_cn``
+    common neighbors, emit the three classic scores —
+    (node_a, node_b, common_neighbors, jaccard, adamic_adar), with
+    jaccard = |cn| / (deg(a) + deg(b) - |cn|) and adamic_adar =
+    sum over shared neighbors z of 1/ln(deg(z)) (Liben-Nowell &
+    Kleinberg 2003). The standard missing-edge proposal pass a KG
+    construction pipeline runs after entity linking: candidate
+    has_phenotype / related_to edges ranked for review.
+
+    Scale: candidate pairs are generated ONLY by the wedge join at a
+    shared neighbor — two rows of the symmetric edge list joined on
+    the center — never an all-pairs product. The wedge fan-out at a
+    center of degree d is d^2/2; ``max_center_degree`` (the standard
+    hub cut: Twitter-scale pipelines drop celebrity centers) bounds
+    the worst key at the cost of losing pairs whose ONLY shared
+    neighbors are super-hubs — an explicit, documented recall trade.
+    deg(z) >= 2 for every wedge center, so ln(deg) is never 0.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    center = deg.withColumnRenamed("node", "z").withColumnRenamed("_deg", "_dz")
+    if max_center_degree is not None:
+        center = center.filter(F.col("_dz") <= max_center_degree)
+    n1 = sym.select(F.col("a").alias("z"), F.col("b").alias("x"))
+    n2 = sym.select(F.col("a").alias("z"), F.col("b").alias("y"))
+    wedges = (
+        n1.join(n2, on="z")
+        .filter(F.col("x") < F.col("y"))
+        .join(center, on="z")
+    )
+    pairs = wedges.groupBy(
+        F.col("x").alias("node_a"), F.col("y").alias("node_b")
+    ).agg(
+        F.count("*").cast("bigint").alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("_dz").cast("double"))).alias(
+            "adamic_adar"
+        ),
+    )
+    # drop pairs that are already edges (we predict MISSING links)
+    pairs = pairs.join(
+        und.select(
+            F.col("a").alias("node_a"), F.col("b").alias("node_b")
+        ),
+        on=["node_a", "node_b"],
+        how="anti",
+    ).filter(F.col("common_neighbors") >= min_cn)
+    da = deg.select(F.col("node").alias("node_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("_deg").alias("_db"))
+    return (
+        pairs.join(da, on="node_a")
+        .join(db, on="node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
+def cooccurrence_stats(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Item co-occurrence association stats (support / confidence /
+    lift) over (group, item) observations — the edge-weighting pass
+    that turns per-document concept annotations into a weighted
+    concept-concept co-occurrence graph (e.g. HPO terms that appear
+    in the same clinical note more often than chance). Emits, for
+    each unordered item pair (a < b) co-occurring in >=
+    ``min_pair_count`` groups: pair_count, support = pair/N,
+    lift = pair*N / (count_a*count_b), conf_a_b = pair/count_a,
+    conf_b_a = pair/count_b.
+
+    Scale: (group, item) is deduplicated first (one narrow distinct),
+    pair generation is a self-join keyed on the GROUP — fan-out per
+    group is items_per_group^2, bounded by document length, never by
+    corpus size; item marginals are broadcast back onto the
+    pair-count table (item-cardinality side, dim-sized).
+    """
+    gi = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct().localCheckpoint(eager=True)
+    n_groups = F.broadcast(
+        gi.agg(F.countDistinct("g").cast("double").alias("_n"))
+    )
+    marg = gi.groupBy("item").agg(F.count("*").alias("_c"))
+    a = gi.select("g", F.col("item").alias("item_a"))
+    b = gi.select("g", F.col("item").alias("item_b"))
+    pair = (
+        a.join(b, on="g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ma = F.broadcast(
+        marg.select(F.col("item").alias("item_a"), F.col("_c").alias("_ca"))
+    )
+    mb = F.broadcast(
+        marg.select(F.col("item").alias("item_b"), F.col("_c").alias("_cb"))
+    )
+    return (
+        pair.join(ma, on="item_a")
+        .join(mb, on="item_b")
+        .crossJoin(n_groups)
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            (F.col("pair_count") / F.col("_n")).alias("support"),
+            (
+                F.col("pair_count").cast("double")
+                * F.col("_n")
+                / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+            ).alias("lift"),
+            (F.col("pair_count") / F.col("_ca").cast("double")).alias("conf_a_b"),
+            (F.col("pair_count") / F.col("_cb").cast("double")).alias("conf_b_a"),
+        )
+    )

@@ -148,3 +148,41 @@ def maximal_spans_bruteforce(df: DataFrame, keys: list[str] | None = None) -> Da
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"_o_{k}"))
     return df.join(other, on=cond, how="left_anti")
+
+
+def coalesce_runs(
+    df: DataFrame,
+    keys: list[str],
+    seq: str,
+) -> DataFrame:
+    """Gaps-and-islands run coalescing: collapse consecutive integer
+    ``seq`` values per ``keys`` group into (keys..., run_start,
+    run_end, run_len) intervals. The temporal-KG materialization
+    primitive: a triple observed at commit sequence numbers
+    {3,4,5, 9,10} becomes two validity intervals [3,5] and [9,10] —
+    per-(subject, predicate, object) version ranges instead of one
+    row per commit snapshot (the same trick coalesces per-day
+    presence into date ranges).
+
+    Formulation: island_id = seq - row_number() within the group
+    ordered by seq — constant within a consecutive run, distinct
+    across gaps (standard gaps-and-islands; duplicate seq values must
+    be deduplicated first, which this does). Plan: ONE shuffle on the
+    group keys shared by the dedup, the window, and the final
+    aggregate (all three are keys-partitioned), O(n log n) per group,
+    no join — at 10^12 rows this is a single exchange keyed by the
+    triple, and runs are emitted map-side-combined per island.
+    """
+    kc = [F.col(k) for k in keys]
+    runs = (
+        df.select(*kc, F.col(seq).cast("bigint").alias("_seq"))
+        .distinct()
+        .withColumn("_island", F.col("_seq") - F.row_number().over(
+            Window.partitionBy(*kc).orderBy(F.col("_seq").asc())
+        ))
+    )
+    return runs.groupBy(*kc, "_island").agg(
+        F.min("_seq").alias("run_start"),
+        F.max("_seq").alias("run_end"),
+        F.count("*").cast("bigint").alias("run_len"),
+    ).drop("_island")

@@ -4034,6 +4034,308 @@ def q138(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def _hits_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-iteration HITS with L1 normalization per
+    half-step (see operators/kg_metrics.hits for why L1, not L2:
+    both engines then evaluate only +,/ over identical operands)."""
+    head = """
+    WITH edges AS MATERIALIZED (
+      SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    ), nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)
+    """
+    steps = "".join(
+        f""", ar{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(SUM(h.hub), 0) AS v
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN h{i - 1} h ON h.node = e.src
+      GROUP BY n.node
+    ), a{i} AS MATERIALIZED (
+      SELECT node, v / (SELECT SUM(v) FROM ar{i}) AS auth FROM ar{i}
+    ), hr{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(SUM(a.auth), 0) AS v
+      FROM nodes n
+      LEFT JOIN edges e ON e.src = n.node
+      LEFT JOIN a{i} a ON a.node = e.dst
+      GROUP BY n.node
+    ), h{i} AS MATERIALIZED (
+      SELECT node, v / (SELECT SUM(v) FROM hr{i}) AS hub FROM hr{i}
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+    SELECT h.node, ROUND(h.hub, 8) AS hub, ROUND(a.auth, 8) AS auth
+    FROM h{iters} h JOIN a{iters} a USING (node)
+    ORDER BY node
+    """
+    )
+
+
+@register("q139_hits", _hits_oracle())
+def q139(spark, sf_dir):
+    """HITS hubs/authorities (operators/kg_metrics.hits) over the
+    customer/supplier/nation/region membership graph, 5 fixed
+    iterations, L1-normalized per half-step. Same evidence discipline
+    as q113: the oracle unrolls the identical +,/ arithmetic as
+    chained CTEs, so the float iteration is value-checked."""
+    from ..operators.kg_metrics import hits
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        c.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    out = hits(edges, iters=5)
+    return out.select(
+        "node",
+        F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    ).orderBy("node")
+
+
+@register(
+    "q140_link_prediction",
+    """
+    WITH raw AS (
+      SELECT 'N' || s_nationkey AS a, 'S' || s_suppkey AS b FROM supplier
+      UNION ALL
+      SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+    ), und AS (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM raw WHERE a <> b
+    ), sym AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), deg AS (
+      SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a
+    ), wedges AS (
+      SELECT n1.b AS x, n2.b AS y, n1.a AS z
+      FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b
+    ), pairs AS (
+      SELECT w.x AS node_a, w.y AS node_b,
+             COUNT(*)::BIGINT AS common_neighbors,
+             SUM(1.0 / ln(dz.d)) AS aa
+      FROM wedges w JOIN deg dz ON dz.node = w.z
+      GROUP BY w.x, w.y
+    ), missing AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und u WHERE u.a = p.node_a AND u.b = p.node_b
+      ) AND p.common_neighbors >= 1
+    )
+    SELECT m.node_a, m.node_b, m.common_neighbors,
+           ROUND(m.common_neighbors / (da.d + db.d - m.common_neighbors), 6)
+             AS jaccard,
+           ROUND(m.aa, 6) AS adamic_adar
+    FROM missing m
+    JOIN deg da ON da.node = m.node_a
+    JOIN deg db ON db.node = m.node_b
+    ORDER BY node_a, node_b
+    """,
+)
+def q140(spark, sf_dir):
+    """Neighborhood-overlap link prediction
+    (operators/kg_metrics.link_prediction): common-neighbor count,
+    Jaccard, Adamic-Adar for every non-adjacent pair sharing a
+    neighbor in the supplier/nation/region graph — the missing-edge
+    proposal pass of KG construction. Wedge-join generation only
+    (never all-pairs); the oracle is an independent wedge + NOT
+    EXISTS formulation."""
+    from ..operators.kg_metrics import link_prediction
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = s.select(
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("dst"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("dst"),
+        )
+    )
+    out = link_prediction(edges, min_cn=1)
+    return out.select(
+        "node_a",
+        "node_b",
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    ).orderBy("node_a", "node_b")
+
+
+def _k_core_oracle(k: int = 3, iters: int = 6) -> str:
+    """Unrolled peel: each round recomputes degrees over surviving
+    edges and keeps only edges whose BOTH endpoints still have
+    degree >= k. Monotone, so extra rounds past convergence are
+    no-ops in both engines."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+        SELECT 'U' || user_id AS a, 'T' || event_type AS b FROM events
+      ) WHERE a <> b
+    )
+    """
+    steps = "".join(
+        f""", s{i} AS MATERIALIZED (
+      SELECT a, b FROM e{i - 1} UNION ALL SELECT b, a FROM e{i - 1}
+    ), d{i} AS MATERIALIZED (
+      SELECT a AS node, COUNT(*) AS deg FROM s{i} GROUP BY a
+    ), e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      JOIN d{i} da ON da.node = e.a
+      JOIN d{i} db ON db.node = e.b
+      WHERE da.deg >= {k} AND db.deg >= {k}
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + steps
+        + f"""
+    SELECT node, COUNT(*)::BIGINT AS core_degree FROM (
+      SELECT a AS node FROM e{iters} UNION ALL SELECT b FROM e{iters}
+    ) GROUP BY node ORDER BY node
+    """
+    )
+
+
+@register("q141_k_core", _k_core_oracle())
+def q141(spark, sf_dir):
+    """k-core decomposition (operators/kg_metrics.k_core, k=3) over
+    the bipartite user/event-type graph: iterative degree peel, 6
+    fixed rounds (convergent well before that), surviving nodes with
+    within-core degree. Oracle unrolls the identical peel."""
+    from ..operators.kg_metrics import k_core
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("U"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("T"), F.col("event_type")).alias("dst"),
+    )
+    return k_core(edges, k=3, iters=6).orderBy("node")
+
+
+@register(
+    "q142_cooccurrence_lift",
+    """
+    WITH gi AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+    ), marg AS (
+      SELECT item, COUNT(*) AS c FROM gi GROUP BY item
+    ), total AS (
+      SELECT COUNT(DISTINCT g)::DOUBLE AS n FROM gi
+    ), pair AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             COUNT(*)::BIGINT AS pair_count
+      FROM gi a JOIN gi b ON a.g = b.g AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.pair_count,
+           ROUND(p.pair_count / (SELECT n FROM total), 6) AS support,
+           ROUND(p.pair_count * (SELECT n FROM total) / (ma.c * mb.c), 6)
+             AS lift,
+           ROUND(p.pair_count / ma.c, 6) AS conf_a_b,
+           ROUND(p.pair_count / mb.c, 6) AS conf_b_a
+    FROM pair p
+    JOIN marg ma ON ma.item = p.item_a
+    JOIN marg mb ON mb.item = p.item_b
+    ORDER BY item_a, item_b
+    """,
+)
+def q142(spark, sf_dir):
+    """Co-occurrence association stats
+    (operators/kg_metrics.cooccurrence_stats): support / lift /
+    directional confidence for part pairs sharing an order — the
+    edge-weighting pass that turns per-document concept annotations
+    into a weighted co-occurrence graph. Pair generation is keyed on
+    the GROUP (fan-out bounded by basket size, never corpus size)."""
+    from ..operators.kg_metrics import cooccurrence_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cooccurrence_stats(
+        li.select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        min_pair_count=2,
+    )
+    return out.select(
+        F.col("item_a"),
+        F.col("item_b"),
+        "pair_count",
+        F.round("support", 6).alias("support"),
+        F.round("lift", 6).alias("lift"),
+        F.round("conf_a_b", 6).alias("conf_a_b"),
+        F.round("conf_b_a", 6).alias("conf_b_a"),
+    ).orderBy("item_a", "item_b")
+
+
+@register(
+    "q143_validity_intervals",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, event_type,
+             floor(epoch(ts) / 86400)::BIGINT AS d
+      FROM events
+    ), isl AS (
+      SELECT user_id, event_type, d,
+             d - ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY d) AS island
+      FROM days
+    )
+    SELECT user_id, event_type,
+           MIN(d) AS run_start, MAX(d) AS run_end,
+           COUNT(*)::BIGINT AS run_len
+    FROM isl
+    GROUP BY user_id, event_type, island
+    ORDER BY user_id, event_type, run_start
+    """,
+)
+def q143(spark, sf_dir):
+    """Gaps-and-islands validity intervals
+    (operators/spans.coalesce_runs): per-(entity, relation) presence
+    days coalesced into consecutive ranges — the temporal-KG
+    materialization that collapses one-row-per-commit triple
+    snapshots into (triple, first_seen, last_seen) version intervals.
+    One exchange on the group keys; no join."""
+    from ..operators.spans import coalesce_runs
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("bigint")
+        .alias("day"),
+    )
+    out = coalesce_runs(ev, ["user_id", "event_type"], "day")
+    return out.orderBy("user_id", "event_type", "run_start")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -4089,6 +4391,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q96_train_counters",
     # new this round:
     "q138_funnel_windowed",
+    "q139_hits",
+    "q140_link_prediction",
+    "q141_k_core",
+    "q142_cooccurrence_lift",
+    "q143_validity_intervals",
 ]
 
 

@@ -346,3 +346,115 @@ def test_kg_metrics_job_end_to_end(spark, tmp_path):
     }
     ppr_ranks = {r.node: r.rank for r in ppr.collect()}
     assert all(ppr_ranks[s] > 0 for s in seeds)
+
+
+# ---------------------------------------------------------------------------
+# round-5 graph additions: HITS, k-core, link prediction, co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_hits_hand_computed(spark):
+    """2 iterations on a->c, b->c, b->d, worked by hand with L1
+    normalization: hub(a)=5/13, hub(b)=8/13, auth(c)=5/8, auth(d)=3/8."""
+    from phenobert_spark.operators.kg_metrics import hits
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("b", "d")], "src string, dst string"
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits(edges, iters=2).collect()}
+    assert got["a"][0] == pytest.approx(5 / 13, abs=1e-12)
+    assert got["b"][0] == pytest.approx(8 / 13, abs=1e-12)
+    assert got["c"][1] == pytest.approx(5 / 8, abs=1e-12)
+    assert got["d"][1] == pytest.approx(3 / 8, abs=1e-12)
+    # sinks hub 0, sources auth 0
+    assert got["c"][0] == 0.0 and got["d"][0] == 0.0
+    assert got["a"][1] == 0.0 and got["b"][1] == 0.0
+    # L1 invariants
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0)
+
+
+def test_k_core_peels_pendant(spark):
+    """Triangle a-b-c with pendant d: the 2-core drops d, keeps the
+    triangle at core-degree 2; the 3-core is empty."""
+    from phenobert_spark.operators.kg_metrics import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2, iters=3).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert k_core(edges, k=3, iters=3).count() == 0
+
+
+def test_k_core_handles_duplicates_and_direction(spark):
+    """Reversed/duplicate edges and self-loops normalize away before
+    the peel."""
+    from phenobert_spark.operators.kg_metrics import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+         ("b", "c"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2, iters=3).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_link_prediction_path_graph(spark):
+    """Path a-b-c-d: exactly the two wedge-closing pairs, scored by
+    hand (jaccard 0.5, adamic_adar 1/ln 2)."""
+    import math
+
+    from phenobert_spark.operators.kg_metrics import link_prediction
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    rows = {
+        (r.node_a, r.node_b): (r.common_neighbors, r.jaccard, r.adamic_adar)
+        for r in link_prediction(edges).collect()
+    }
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    for cn, jac, aa in rows.values():
+        assert cn == 1
+        assert jac == pytest.approx(0.5, abs=1e-12)
+        assert aa == pytest.approx(1 / math.log(2), abs=1e-12)
+
+
+def test_link_prediction_excludes_existing_edges_and_caps_hubs(spark):
+    """A closed triangle proposes nothing (all pairs adjacent); a hub
+    cap below the center's degree suppresses its wedges."""
+    from phenobert_spark.operators.kg_metrics import link_prediction
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    assert link_prediction(tri).count() == 0
+
+    star = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z")], "src string, dst string"
+    )
+    assert link_prediction(star).count() == 3  # x-y x-z y-z via h
+    assert link_prediction(star, max_center_degree=2).count() == 0
+
+
+def test_cooccurrence_stats_hand_computed(spark):
+    """3 baskets {x,y} {x,y} {x,z}: only (x,y) survives min_pair_count=2;
+    support 2/3, lift 2*3/(3*2)=1, conf x->y 2/3, conf y->x 1."""
+    from phenobert_spark.operators.kg_metrics import cooccurrence_stats
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+         (1, "x")],  # duplicate observation dedups
+        "g int, item string",
+    )
+    rows = cooccurrence_stats(df, "g", "item", min_pair_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.item_a, r.item_b, r.pair_count) == ("x", "y", 2)
+    assert r.support == pytest.approx(2 / 3, abs=1e-12)
+    assert r.lift == pytest.approx(1.0, abs=1e-12)
+    assert r.conf_a_b == pytest.approx(2 / 3, abs=1e-12)
+    assert r.conf_b_a == pytest.approx(1.0, abs=1e-12)

@@ -97,3 +97,20 @@ def test_suppress_containing_bruteforce_equivalence(spark):
         if not any(ad == d and s <= as_ and ae <= e for ad, as_, ae in anchors):
             slow.add((d, s, e))
     assert fast == slow
+
+
+def test_coalesce_runs_gaps_and_islands(spark):
+    """{1,2,3,7,8} -> [1,3],[7,8]; duplicate seq values dedup; a
+    singleton group emits one length-1 run."""
+    from phenobert_spark.operators.spans import coalesce_runs
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2), (1, "a", 2), (1, "a", 3),
+         (1, "a", 7), (1, "a", 8), (2, "b", 5)],
+        "k int, rel string, seq int",
+    )
+    got = sorted(
+        (r.k, r.rel, r.run_start, r.run_end, r.run_len)
+        for r in coalesce_runs(df, ["k", "rel"], "seq").collect()
+    )
+    assert got == [(1, "a", 1, 3, 3), (1, "a", 7, 8, 2), (2, "b", 5, 5, 1)]
