@@ -200,3 +200,52 @@ def test_bm25_topk_uses_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_link_prediction_plan_no_cartesian(spark):
+    """Candidate pairs come ONLY from the wedge equi-join at a shared
+    neighbor; a cartesian/nested-loop anywhere would be the all-pairs
+    product the operator exists to avoid. The existing-edge exclusion
+    must also stay an equi-anti-join."""
+    from phenobert_spark.operators.kg_metrics import link_prediction
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(40)], "src bigint, dst bigint"
+    )
+    plan = _formatted_plan(spark, link_prediction(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cooccurrence_plan_group_keyed(spark):
+    """Pair generation must be the group-keyed self-join (fan-out
+    bounded by basket size); marginals broadcast back. No cartesian;
+    the only nested-loop join allowed is the 1-row scalar N attach
+    (IdentityBroadcastMode cross, same pattern as pagerank's
+    n_total)."""
+    from phenobert_spark.operators.kg_metrics import cooccurrence_stats
+
+    df = spark.createDataFrame(
+        [(i % 9, f"it{i % 13}") for i in range(60)], "g int, item string"
+    )
+    plan = _formatted_plan(spark, cooccurrence_stats(df, "g", "item"))
+    assert "CartesianProduct" not in plan
+    # one nested-loop node = two mentions in "formatted" (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "IdentityBroadcastMode" in plan  # the 1-row scalar, nothing else
+
+
+def test_coalesce_runs_single_exchange(spark):
+    """Dedup, island window, and run aggregate all share the group-key
+    partitioning: exactly ONE exchange keyed by the group columns (plus
+    AQE reads), never one per step."""
+    from phenobert_spark.operators.spans import coalesce_runs
+
+    df = spark.createDataFrame(
+        [(i % 5, "r", i % 17) for i in range(80)],
+        "k int, rel string, seq int",
+    )
+    plan = _formatted_plan(spark, coalesce_runs(df, ["k", "rel"], "seq"))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # dedup agg + window may share or split
+    assert "CartesianProduct" not in plan
