@@ -762,3 +762,67 @@ def cooccurrence_stats(
             (F.col("pair_count") / F.col("_cb").cast("double")).alias("conf_b_a"),
         )
     )
+
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row structural profile of the undirected graph: node/edge
+    counts, mean and max degree, and Newman degree assortativity
+    (Pearson correlation of endpoint degrees over the symmetrized
+    edge list) — the sanity dashboard a KG build emits per snapshot
+    so drift (hub growth, fragmentation) is caught before downstream
+    jobs consume the graph.
+
+    The correlation is computed from EXACT integer sums (n, Σx, Σxy,
+    Σx², with Σx=Σy and Σx²=Σy² by symmetry) and only converted to
+    double at the final expression, so both contract engines (q145)
+    evaluate identical operands. Plan: one degree aggregate + one
+    broadcast of the dim-sized degree table back onto edges + a
+    single global aggregate — map-side combinable throughout.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    joined = sym.join(da, on="a").join(db, on="b")
+    stats = joined.agg(
+        F.count("*").alias("_n"),  # = 2 * n_edges
+        F.sum("_da").alias("_sx"),
+        F.sum(F.col("_da") * F.col("_db")).alias("_sxy"),
+        F.sum(F.col("_da") * F.col("_da")).alias("_sxx"),
+    )
+    counts = F.broadcast(
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+    )
+    num = (
+        F.col("_n").cast("double") * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    den = (
+        F.col("_n").cast("double") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    return stats.crossJoin(counts).select(
+        "n_nodes",
+        (F.col("_n") / F.lit(2)).cast("bigint").alias("n_edges"),
+        # mean degree = 2E/N = |sym| / N  (_sx is Σdeg², used by r only)
+        (F.col("_n").cast("double") / F.col("n_nodes").cast("double")).alias(
+            "avg_degree"
+        ),
+        "max_degree",
+        F.when(den != 0, num / den).alias("assortativity"),
+    )

@@ -364,3 +364,77 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-k-smoothed
+    bigram language model TRAINED ON THE CORPUS ITSELF — the CCNet /
+    Gopher-style perplexity quality signal (docs whose avg_nll is far
+    above the corpus median are boilerplate, OCR noise, or wrong-
+    language; far below are degenerate repetition). Tokenization is
+    the q13/q112 whitespace convention (lower, trim, split on \\s+)
+    so the DuckDB oracle (q144) counts identically.
+
+    P(cur | prev) = (c(prev,cur) + k) / (c(prev) + k·V), with c(prev)
+    the corpus count of ``prev`` as a bigram history and V the corpus
+    distinct-token count. Returns (id, n_bigrams, avg_nll) for every
+    doc with at least one bigram; single-token docs have no bigram
+    evidence and are omitted (score them by length rules instead).
+
+    Scale: three aggregations (bigram counts, history counts, V) and
+    one re-join of the bigram stream onto its count tables — all
+    keyed on token/bigram keys whose Zipf skew is absorbed by
+    map-side partial aggregation; the final reduce is keyed by doc.
+    No UDFs; the model "fit" IS the aggregate, so the same code
+    trains on 10^12 docs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+    ).localCheckpoint(eager=True)
+    # adjacent-token pairs, fully JVM-side: zip the array against its
+    # own 1-shifted slice — no posexplode self-join, no extra shuffle
+    pairs = (
+        toks.select(
+            "_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("_toks", 1, F.size("_toks") - F.lit(1)),
+                    F.expr("slice(_toks, 2, size(_toks) - 1)"),
+                    lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+                )
+            ).alias("_bg"),
+        )
+        .select("_id", "_bg.prev", "_bg.cur")
+        .localCheckpoint(eager=True)
+    )
+    bc = pairs.groupBy("prev", "cur").agg(
+        F.count("*").cast("double").alias("_c")
+    )
+    hc = pairs.groupBy("prev").agg(F.count("*").cast("double").alias("_h"))
+    v = F.broadcast(
+        toks.select(F.explode("_toks").alias("_tok"))
+        .agg(F.countDistinct("_tok").cast("double").alias("_v"))
+    )
+    return (
+        pairs.join(bc, on=["prev", "cur"])
+        .join(hc, on="prev")
+        .crossJoin(v)
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (
+                -F.avg(
+                    F.log(
+                        (F.col("_c") + F.lit(k))
+                        / (F.col("_h") + F.lit(k) * F.col("_v"))
+                    )
+                )
+            ).alias("avg_nll"),
+        )
+    )

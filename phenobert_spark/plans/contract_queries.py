@@ -4336,6 +4336,131 @@ def q143(spark, sf_dir):
     return out.orderBy("user_id", "event_type", "run_start")
 
 
+@register(
+    "q144_bigram_nll",
+    r"""
+    WITH tl AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), tok AS MATERIALIZED (
+      SELECT doc_id, unnest(toks) AS token FROM tl
+    ), big AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS prev,
+             unnest(toks[2:len(toks)]) AS cur
+      FROM tl
+    ), bc AS MATERIALIZED (
+      SELECT prev, cur, COUNT(*)::DOUBLE AS c FROM big GROUP BY prev, cur
+    ), hc AS MATERIALIZED (
+      SELECT prev, COUNT(*)::DOUBLE AS h FROM big GROUP BY prev
+    ), vv AS MATERIALIZED (
+      SELECT COUNT(DISTINCT token)::DOUBLE AS v FROM tok
+    )
+    SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(-AVG(ln((bc.c + 0.5) / (hc.h + 0.5 * (SELECT v FROM vv)))),
+                 6) AS avg_nll
+    FROM big b JOIN bc USING (prev, cur) JOIN hc USING (prev)
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q144(spark, sf_dir):
+    """Self-trained add-k bigram LM perplexity scoring
+    (operators/text.bigram_lm_scores) — the CCNet/Gopher quality
+    signal: the corpus trains the counts, every doc is scored by its
+    mean bigram negative log-likelihood. The oracle re-derives the
+    identical model in SQL (zip-sliced unnest for adjacent pairs),
+    so the float scores are value-checked, not just row-counted."""
+    from ..operators.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(d, k=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q145_graph_summary",
+    """
+    WITH raw AS (
+      SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    ), und AS MATERIALIZED (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM raw WHERE a <> b
+    ), sym AS MATERIALIZED (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), deg AS MATERIALIZED (
+      SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a
+    ), j AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s
+      JOIN deg da ON da.node = s.a
+      JOIN deg db ON db.node = s.b
+    ), st AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+             SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx
+      FROM j
+    ), cn AS (
+      SELECT COUNT(*)::BIGINT AS n_nodes, MAX(d)::BIGINT AS max_degree
+      FROM deg
+    )
+    SELECT cn.n_nodes,
+           (st.n / 2)::BIGINT AS n_edges,
+           ROUND(st.n::DOUBLE / cn.n_nodes::DOUBLE, 6) AS avg_degree,
+           cn.max_degree,
+           ROUND((st.n::DOUBLE * st.sxy::DOUBLE - st.sx::DOUBLE * st.sx::DOUBLE)
+                 / (st.n::DOUBLE * st.sxx::DOUBLE - st.sx::DOUBLE * st.sx::DOUBLE),
+                 6) AS assortativity
+    FROM st, cn
+    """,
+)
+def q145(spark, sf_dir):
+    """One-row graph structural profile
+    (operators/kg_metrics.graph_summary): node/edge counts, mean and
+    max degree, Newman degree assortativity from exact integer sums —
+    the per-snapshot sanity dashboard of a KG build. Both engines
+    derive the Pearson terms from the same BIGINT sums, so the final
+    doubles agree to the last ulp."""
+    from ..operators.kg_metrics import graph_summary
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        c.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    out = graph_summary(edges)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        F.round("avg_degree", 6).alias("avg_degree"),
+        "max_degree",
+        F.round("assortativity", 6).alias("assortativity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -4396,6 +4521,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q141_k_core",
     "q142_cooccurrence_lift",
     "q143_validity_intervals",
+    "q144_bigram_nll",
+    "q145_graph_summary",
 ]
 
 

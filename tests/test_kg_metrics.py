@@ -458,3 +458,31 @@ def test_cooccurrence_stats_hand_computed(spark):
     assert r.lift == pytest.approx(1.0, abs=1e-12)
     assert r.conf_a_b == pytest.approx(2 / 3, abs=1e-12)
     assert r.conf_b_a == pytest.approx(1.0, abs=1e-12)
+
+
+def test_graph_summary_path_graph(spark):
+    """Path a-b-c: 3 nodes, 2 edges, mean degree 4/3, max 2,
+    assortativity exactly -1 (ends pair with the middle only)."""
+    from phenobert_spark.operators.kg_metrics import graph_summary
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    r = graph_summary(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (3, 2, 2)
+    assert r.avg_degree == pytest.approx(4 / 3, abs=1e-12)
+    assert r.assortativity == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_graph_summary_regular_graph_null_assortativity(spark):
+    """A triangle is 2-regular: zero degree variance -> the Pearson
+    denominator is 0 and assortativity must be NULL, not a crash or
+    an inf."""
+    from phenobert_spark.operators.kg_metrics import graph_summary
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    r = graph_summary(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (3, 3, 2)
+    assert r.assortativity is None

@@ -1,6 +1,7 @@
 """Corpus text-analysis operators (operators/text.py)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from phenobert_spark.operators.text import corpus_filter, vocab_topk
 
@@ -147,3 +148,36 @@ def test_pmi_bigrams_hand_computed(spark):
     assert abs(got[("c", "a")].pmi - pmi(2, 3, 6)) < 1e-12
     # min_count drops nothing here; raise it and the table shrinks
     assert pmi_bigrams(docs, min_count=3).count() == 2
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Two docs 'a b a' / 'a b': c(a,b)=2 c(b,a)=1, h(a)=2 h(b)=1,
+    V=2, k=0.5 -> P(b|a)=2.5/3, P(a|b)=1.5/2."""
+    import math
+
+    from phenobert_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in bigram_lm_scores(docs, k=0.5).collect()
+    }
+    p_ab = 2.5 / 3
+    p_ba = 1.5 / 2
+    assert got[1][0] == 2
+    assert got[1][1] == pytest.approx(
+        -(math.log(p_ab) + math.log(p_ba)) / 2, abs=1e-12
+    )
+    assert got[2] == (1, pytest.approx(-math.log(p_ab), abs=1e-12))
+
+
+def test_bigram_lm_scores_skips_single_token_docs(spark):
+    from phenobert_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "lonely"), (2, "two tokens")], "doc_id int, text string"
+    )
+    got = {r.doc_id for r in bigram_lm_scores(docs).collect()}
+    assert got == {2}
