@@ -25,6 +25,15 @@ consumer runs after construction:
                            default, the --top-ic-seeds most-annotated
                            concepts) — "what is related to THESE
                            phenotypes" relatedness ranking
+    <output>/summary/      one-row structural profile (node/edge
+                           counts, degree stats, assortativity) — the
+                           per-snapshot drift dashboard (q145)
+    <output>/link_candidates/  neighborhood-overlap link proposals
+                           over the doc<->concept bipartite graph:
+                           concept pairs co-annotated in >=
+                           --link-min-cn documents, ranked by
+                           Adamic-Adar (q140) — candidate
+                           related_to edges for review
 
 Scale shape: the ontology (18k concepts) is the broadcast-able dim —
 its ancestor closure is built driver-side from the already-loaded
@@ -50,6 +59,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--lpa-iters", type=int, default=3)
     p.add_argument("--seeds", default=None)
     p.add_argument("--top-ic-seeds", type=int, default=10)
+    p.add_argument("--link-min-cn", type=int, default=2)
     p.add_argument(
         "--ontology", choices=["reference", "fixture"], default="reference"
     )
@@ -59,7 +69,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     from phenobert_spark.ontology import fixture_ontology, get_ontology
     from phenobert_spark.operators.kg_metrics import (
         concept_information_content,
+        graph_summary,
         label_propagation,
+        link_prediction,
         pagerank,
         personalized_pagerank,
     )
@@ -120,6 +132,30 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     personalized_pagerank(edges, seeds, iters=args.iters).write.mode(
         "overwrite"
     ).parquet(f"{args.output}/ppr")
+
+    graph_summary(edges).write.mode("overwrite").parquet(
+        f"{args.output}/summary"
+    )
+    # Link proposals over the doc<->concept bipartite slice only (the
+    # taxonomy is curated; we propose edges where the CORPUS, not the
+    # ontology, supplies the evidence). In a bipartite graph,
+    # concept-concept pairs arise ONLY from wedges centered at a
+    # document, whose degree is bounded by annotations-per-doc; a
+    # wedge centered at a frequent CONCEPT would fan out doc-doc
+    # pairs at corpus scale — the center cap cuts those hubs, and the
+    # HP: filter drops the residual doc-doc pairs from rare concepts.
+    bip = ann.select(
+        F.col("doc_id").alias("src"), F.col("concept").alias("dst")
+    )
+    (
+        link_prediction(
+            bip, min_cn=args.link_min_cn, max_center_degree=256
+        )
+        .filter(F.col("node_a").startswith("HP:"))
+        .filter(F.col("node_b").startswith("HP:"))
+        .write.mode("overwrite")
+        .parquet(f"{args.output}/link_candidates")
+    )
 
     if owns_session:
         spark.stop()

@@ -347,6 +347,15 @@ def test_kg_metrics_job_end_to_end(spark, tmp_path):
     ppr_ranks = {r.node: r.rank for r in ppr.collect()}
     assert all(ppr_ranks[s] > 0 for s in seeds)
 
+    # round-5 artifacts: structural summary + concept link proposals
+    summ = spark.read.parquet(f"{out}/summary").collect()
+    assert len(summ) == 1 and summ[0].n_edges > 0
+    assert summ[0].n_nodes == len(pr_nodes)
+    links = spark.read.parquet(f"{out}/link_candidates")
+    for r in links.collect():  # may be empty on a tiny fixture corpus
+        assert r.node_a.startswith("HP:") and r.node_b.startswith("HP:")
+        assert r.common_neighbors >= 2
+
 
 # ---------------------------------------------------------------------------
 # round-5 graph additions: HITS, k-core, link prediction, co-occurrence
