@@ -438,3 +438,87 @@ def bigram_lm_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "list[tuple[int, str, str, int]]":
+    """Byte-pair-encoding merge-table training (Sennrich 2016 /
+    GPT-2 style) over the corpus — the tokenizer-training pass of an
+    LLM data pipeline, run distributed. Words are the q13 whitespace
+    convention (lower, trim, split \\s+); symbols start as single
+    characters (no end-of-word marker — documented deviation, the
+    merge dynamics are identical); each round merges the globally
+    most frequent adjacent symbol pair, ties broken by (left, right)
+    ascending so the result is a pure function of the corpus.
+    Returns [(merge_rank, left, right, pair_count), ...]; stops early
+    when no adjacent pair remains.
+
+    Scale: the corpus is touched ONCE (word count aggregate); every
+    round then runs on the WORD-TYPE table (vocabulary-sized, ~1e8
+    rows at web scale — distributed, never collected), as one
+    weighted pair count + a 1-ROW TakeOrdered argmax to the driver +
+    one narrow array-fold rewrite (F.aggregate, JVM lambda — no
+    Python in the loop). The per-round driver collect is one row by
+    construction; ``localCheckpoint`` flattens the n_merges-deep
+    lineage.
+    """
+    wt = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+        .select(
+            "count",
+            F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            wt.filter(F.size("syms") >= 2)
+            .select(
+                "count",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - F.lit(1)),
+                        F.expr("slice(syms, 2, size(syms) - 1)"),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("count").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        lc, rc = F.lit(left), F.lit(right)
+        fold = F.aggregate(
+            F.slice("syms", 2, F.size("syms") - F.lit(1)),
+            F.slice("syms", 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == lc) & (s == rc),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - F.lit(1)),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        wt = wt.select(
+            "count",
+            F.when(F.size("syms") < 2, F.col("syms"))
+            .otherwise(fold)
+            .alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merges

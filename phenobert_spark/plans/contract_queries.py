@@ -986,7 +986,10 @@ def q24(spark, sf_dir):
 def _pinned(name: str) -> str:
     from . import pinned_oracles
 
-    return getattr(pinned_oracles, name)
+    # Bootstrap fallback: a freshly added pinned query registers before
+    # tools/pin_oracles.py has generated its constant; the placeholder
+    # keeps the module importable so the pin tool itself can run.
+    return getattr(pinned_oracles, name, "SELECT 1 AS bootstrap_placeholder")
 
 
 @register("q90_hpo_pipeline_fixture", _pinned("Q90_FIXTURE_PIPELINE_ORACLE"))
@@ -4382,6 +4385,24 @@ def q144(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register("q146_bpe_merges", _pinned("Q146_BPE_MERGES_ORACLE"))
+def q146(spark, sf_dir):
+    """BPE tokenizer-training merge table (operators/text.bpe_train,
+    8 merges over the documents corpus). The merge loop is iterative
+    and data-dependent (each round's argmax feeds the next round's
+    rewrite) — not one-shot SQL — but it is a pure function of the
+    corpus with deterministic tie-breaks, so the exact merge table is
+    pinned as a literal VALUES oracle (tools/pin_oracles.py), the
+    q90/q96/q102 discipline."""
+    from ..operators.text import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=8)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    ).orderBy("merge_rank")
+
+
 @register(
     "q145_graph_summary",
     """
@@ -4523,6 +4544,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q143_validity_intervals",
     "q144_bigram_nll",
     "q145_graph_summary",
+    "q146_bpe_merges",
 ]
 
 

@@ -181,3 +181,32 @@ def test_bigram_lm_scores_skips_single_token_docs(spark):
     )
     got = {r.doc_id for r in bigram_lm_scores(docs).collect()}
     assert got == {2}
+
+
+def test_bpe_train_hand_computed(spark):
+    """'low low lower': merges in order (l,o,3) (lo,w,3) (e,r,1)
+    (low,er,1) — ties broken by ascending pair; early-stop when no
+    adjacent pairs remain."""
+    from phenobert_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "lower")], "doc_id int, text string"
+    )
+    got = bpe_train(docs, n_merges=10)
+    assert got == [
+        (1, "l", "o", 3),
+        (2, "lo", "w", 3),
+        (3, "e", "r", 1),
+        (4, "low", "er", 1),
+    ]
+
+
+def test_bpe_train_overlapping_pairs_merge_left_to_right(spark):
+    """'aaa': pair (a,a) has count 2 but one merge pass produces
+    [aa, a] (non-overlapping, left-to-right), so round 2 merges
+    (aa, a) — the canonical BPE behavior."""
+    from phenobert_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id int, text string")
+    got = bpe_train(docs, n_merges=3)
+    assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
