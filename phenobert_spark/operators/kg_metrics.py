@@ -520,6 +520,8 @@ def hits(
     vector node-keyed, map-side combine on the sums) carries over.
     ``localCheckpoint`` flattens the 2*iters-join lineage.
     """
+    if iters < 1:
+        raise ValueError("hits needs iters >= 1 (auth is undefined at h0)")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).localCheckpoint(
         eager=True
     )
