@@ -1,0 +1,176 @@
+"""Entity resolution for KG construction: blocked pairwise matching
+and deterministic negative sampling for embedding training.
+
+The reference builds its concept graph from a curated ontology, so it
+never has to reconcile near-duplicate surface forms; a KG built from a
+raw corpus does. ``blocked_matches`` is the classic blocking-key ER
+pass (Fellegi-Sunter style candidate generation): cheap deterministic
+keys cut the O(n^2) pair space down to within-block pairs, then an
+exact edit-distance predicate scores survivors. The LSH/banding dedup
+family in ``operators/dedup.py`` is the same shape for whole documents;
+this operator is the short-string / entity-record variant.
+
+``negative_sample_triples`` is the training-data half: KG-embedding
+objectives (TransE et al.) need one corrupted triple per positive, and
+at 100 TB the corruption must be a pure function of the triple so any
+shard, backfill, or re-run derives the identical negative (the
+md5-draw discipline of ``operators/sampling.py``).
+
+Scale shape (100 TB):
+
+* ``blocked_matches`` shuffles once on the blocking key; pair fan-out
+  is bounded by block size, never corpus size. A pathological hot
+  block (empty/default key values) is the known failure mode — the
+  optional ``max_block_size`` drops oversized blocks up front (the
+  standard ER guard; dropped blocks are exactly the keys a production
+  run routes to a dedicated pass).
+* ``negative_sample_triples`` touches the corpus-sized edge table with
+  two narrow equi-joins against the ENTITY index, which is vocabulary-
+  sized (dim-table scale) and broadcast by AQE. The index's global
+  ``row_number`` runs on that dim-sized side only — never on the edge
+  table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list,
+    max_edit: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Within-block candidate pairs scored by Levenshtein distance.
+
+    Returns one row per unordered pair (``id_a < id_b``) whose names
+    are within ``max_edit`` edits, with ``sim = 1 - dist/max(len)``
+    rounded to 6 places. ``block_cols`` may be column names or Column
+    expressions (e.g. a first-token key).
+    """
+    blocks = [
+        F.col(c).alias(f"_bk{i}") if isinstance(c, str) else c.alias(f"_bk{i}")
+        for i, c in enumerate(block_cols)
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), *blocks
+    )
+    bk = [f"_bk{i}" for i in range(len(block_cols))]
+    if max_block_size is not None:
+        sizes = keyed.groupBy(*bk).agg(F.count("*").alias("_bsz"))
+        keyed = keyed.join(
+            sizes.filter(F.col("_bsz") <= max_block_size).drop("_bsz"),
+            on=bk,
+            how="inner",
+        )
+    a = keyed.select(
+        *bk, F.col("_id").alias("id_a"), F.col("_name").alias("name_a")
+    )
+    b = keyed.select(
+        *bk, F.col("_id").alias("id_b"), F.col("_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, on=bk, how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= max_edit)
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0
+                - dist
+                / F.greatest(F.length("name_a"), F.length("name_b")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
+def negative_sample_triples(
+    triples: DataFrame,
+    head_col: str = "head",
+    rel_col: str = "rel",
+    tail_col: str = "tail",
+    salt: str = "",
+) -> DataFrame:
+    """One deterministic corrupted tail per positive triple.
+
+    The draw is ``md5(head|rel|tail|salt)`` reduced mod ``n-1`` over
+    the tail-entity vocabulary with the skip-self shift (draws at or
+    above the true tail's index shift up by one), so the negative is
+    uniform over the ``n-1`` entities that are NOT the true tail and
+    is a pure function of the triple — any engine re-derives it
+    (q148's DuckDB oracle does). Requires >= 2 distinct tail entities.
+
+    Output: (head, rel, tail, neg_tail).
+    """
+    ents = (
+        triples.select(F.col(tail_col).alias("_ent"))
+        .distinct()
+        .withColumn(
+            "_idx",
+            F.row_number().over(Window.orderBy("_ent")).cast("bigint") - 1,
+        )
+    )
+    n = ents.agg(F.count("*").alias("_n"))
+    base = (
+        triples.select(
+            F.col(head_col).alias("head"),
+            F.col(rel_col).alias("rel"),
+            F.col(tail_col).alias("tail"),
+        )
+        .join(
+            F.broadcast(ents.select(F.col("_ent"), F.col("_idx").alias("_tidx"))),
+            F.col("tail") == F.col("_ent"),
+        )
+        .drop("_ent")
+        .crossJoin(F.broadcast(n))
+    )
+    # the guard lives INSIDE the divisor so it cannot be pruned away:
+    # n < 2 raises a descriptive error instead of ANSI mod-by-zero (or,
+    # with ANSI off, a silent all-NULL draw that drops every row)
+    divisor = F.when(F.col("_n") >= 2, F.col("_n") - 1).otherwise(
+        F.assert_true(
+            F.col("_n") >= 2,
+            F.lit(
+                "negative_sample_triples requires >= 2 distinct tail entities"
+            ),
+        ).cast("bigint")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("head").cast("string"),
+                    F.col("rel").cast("string"),
+                    F.col("tail").cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % divisor
+    drawn = base.withColumn(
+        "_nidx", h + F.when(h >= F.col("_tidx"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        drawn.join(
+            F.broadcast(ents),
+            drawn["_nidx"] == ents["_idx"],
+        )
+        .select(
+            "head", "rel", "tail", F.col("_ent").alias("neg_tail")
+        )
+    )

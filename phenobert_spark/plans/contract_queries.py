@@ -4482,6 +4482,103 @@ def q145(spark, sf_dir):
     )
 
 
+@register(
+    "q147_entity_resolution",
+    """
+    WITH keyed AS (
+      SELECT p_partkey AS id, p_name AS name, p_brand AS bk0,
+             split_part(p_name, ' ', 1) AS bk1
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name)::BIGINT AS edit_dist,
+           ROUND(1.0 - levenshtein(a.name, b.name)::DOUBLE
+                 / greatest(length(a.name), length(b.name)), 6) AS sim
+    FROM keyed a
+    JOIN keyed b ON a.bk0 = b.bk0 AND a.bk1 = b.bk1 AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q147(spark, sf_dir):
+    """Blocked entity resolution
+    (operators/entity_resolution.blocked_matches): candidate entity
+    pairs from a (brand, first-name-token) blocking key, scored by
+    exact Levenshtein distance — the surface-form reconciliation pass
+    of KG construction. One shuffle on the blocking key; pair fan-out
+    bounded by block size (max 17 rows/block at sf0.01), never
+    corpus size. Both engines compute textbook edit distance, so the
+    predicate and the similarity are cross-engine exact."""
+    from ..operators.entity_resolution import blocked_matches
+
+    p = _t(spark, sf_dir, "part")
+    out = blocked_matches(
+        p,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=[
+            F.col("p_brand"),
+            F.substring_index(F.col("p_name"), " ", 1),
+        ],
+        max_edit=2,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+@register(
+    "q148_kg_negative_sample",
+    """
+    WITH tr AS (
+      SELECT DISTINCT l_suppkey AS head, 'supplies' AS rel,
+             l_partkey AS tail
+      FROM lineitem
+    ), ents AS (
+      SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS idx
+      FROM (SELECT DISTINCT tail AS ent FROM tr)
+    ), n AS (
+      SELECT COUNT(*)::BIGINT AS n FROM ents
+    ), drawn AS (
+      SELECT t.head, t.rel, t.tail, e.idx AS tidx,
+             ('0x' || substr(md5(t.head::VARCHAR || '|' || t.rel || '|'
+                                 || t.tail::VARCHAR || '|' || 'kg-neg'),
+                             1, 8))::BIGINT % (n.n - 1) AS h
+      FROM tr t JOIN ents e ON e.ent = t.tail, n
+    )
+    SELECT d.head, d.rel, d.tail, e2.ent AS neg_tail
+    FROM drawn d
+    JOIN ents e2
+      ON e2.idx = d.h + CASE WHEN d.h >= d.tidx THEN 1 ELSE 0 END
+    ORDER BY head, tail
+    """,
+)
+def q148(spark, sf_dir):
+    """Deterministic negative sampling for KG-embedding training
+    (operators/entity_resolution.negative_sample_triples): one
+    corrupted tail per positive (supplier)-[supplies]->(part) triple,
+    drawn md5(triple) mod (n-1) over the tail vocabulary with the
+    skip-self shift — uniform over the n-1 non-true entities and a
+    pure function of the triple, so any engine / shard / backfill
+    re-derives the identical negative (this oracle does). The edge
+    table is touched with two narrow joins against the broadcast
+    vocabulary-sized entity index."""
+    from ..operators.entity_resolution import negative_sample_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    triples = (
+        li.select(
+            F.col("l_suppkey").alias("head"),
+            F.col("l_partkey").alias("tail"),
+        )
+        .distinct()
+        .withColumn("rel", F.lit("supplies"))
+    )
+    out = negative_sample_triples(
+        triples, "head", "rel", "tail", salt="kg-neg"
+    )
+    return out.orderBy("head", "tail")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -4545,6 +4642,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q144_bigram_nll",
     "q145_graph_summary",
     "q146_bpe_merges",
+    "q147_entity_resolution",
+    "q148_kg_negative_sample",
 ]
 
 

@@ -249,3 +249,49 @@ def test_coalesce_runs_single_exchange(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # dedup agg + window may share or split
     assert "CartesianProduct" not in plan
+
+
+def test_blocked_matches_plan_block_keyed(spark):
+    """ER candidate pairs must come ONLY from the blocking-key
+    equi-join — a cartesian/nested-loop anywhere is the all-pairs
+    product blocking exists to avoid."""
+    import pyspark.sql.functions as F
+
+    from phenobert_spark.operators.entity_resolution import blocked_matches
+
+    df = spark.createDataFrame(
+        [(i, f"name {i % 7}", f"B{i % 3}") for i in range(50)],
+        "id bigint, name string, brand string",
+    )
+    plan = _formatted_plan(
+        spark,
+        blocked_matches(
+            df,
+            id_col="id",
+            name_col="name",
+            block_cols=[F.col("brand"), F.substring_index(F.col("name"), " ", 1)],
+            max_edit=2,
+        ),
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sample_plan_broadcast_index(spark):
+    """The corpus-sized triple table is touched only by equi-joins
+    against the vocabulary-sized entity index; the single allowed
+    nested-loop node is the 1-row scalar N attach (same pattern as
+    cooccurrence/pagerank)."""
+    from phenobert_spark.operators.entity_resolution import (
+        negative_sample_triples,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "r", (i * 3) % 11) for i in range(60)],
+        "head bigint, rel string, tail bigint",
+    )
+    plan = _formatted_plan(spark, negative_sample_triples(df, salt="s"))
+    assert "CartesianProduct" not in plan
+    # one nested-loop node = two mentions in "formatted" (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "IdentityBroadcastMode" in plan  # the 1-row scalar, nothing else
