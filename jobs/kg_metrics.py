@@ -34,6 +34,10 @@ consumer runs after construction:
                            --link-min-cn documents, ranked by
                            Adamic-Adar (q140) — candidate
                            related_to edges for review
+    <output>/training_negatives/  one deterministic corrupted concept
+                           per annotation triple (q148) — the
+                           negative half of a KG-embedding training
+                           set, re-derivable by any engine
 
 Scale shape: the ontology (18k concepts) is the broadcast-able dim —
 its ancestor closure is built driver-side from the already-loaded
@@ -74,6 +78,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         link_prediction,
         pagerank,
         personalized_pagerank,
+    )
+    from phenobert_spark.operators.entity_resolution import (
+        negative_sample_triples,
     )
 
     owns_session = spark is None
@@ -156,6 +163,19 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         .write.mode("overwrite")
         .parquet(f"{args.output}/link_candidates")
     )
+
+    # Training negatives for KG-embedding fitting (q148 operator): one
+    # deterministic corrupted concept per (doc, annotated_with, concept)
+    # positive — pure function of the triple, so every shard/backfill
+    # re-derives the same negative. Entity index = concept vocabulary
+    # (dim-sized, broadcast).
+    negative_sample_triples(
+        ann.distinct().withColumn("rel", F.lit("annotated_with")),
+        head_col="doc_id",
+        rel_col="rel",
+        tail_col="concept",
+        salt="kg-neg",
+    ).write.mode("overwrite").parquet(f"{args.output}/training_negatives")
 
     if owns_session:
         spark.stop()

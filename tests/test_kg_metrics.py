@@ -356,6 +356,13 @@ def test_kg_metrics_job_end_to_end(spark, tmp_path):
         assert r.node_a.startswith("HP:") and r.node_b.startswith("HP:")
         assert r.common_neighbors >= 2
 
+    # round-5 artifact: deterministic training negatives (q148 operator)
+    negs = spark.read.parquet(f"{out}/training_negatives")
+    assert negs.count() == triples.select("doc_id", "hpo_id").distinct().count()
+    assert negs.filter(F.col("tail") == F.col("neg_tail")).count() == 0
+    concepts = {r.hpo_id for r in triples.select("hpo_id").distinct().collect()}
+    assert {r.neg_tail for r in negs.collect()} <= concepts
+
 
 # ---------------------------------------------------------------------------
 # round-5 graph additions: HITS, k-core, link prediction, co-occurrence
