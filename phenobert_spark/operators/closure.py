@@ -150,6 +150,39 @@ def transitive_closure(
     return closure
 
 
+def transitive_reduction(
+    edges: DataFrame, closure: DataFrame | None = None, max_iters: int = 30
+) -> DataFrame:
+    """edges(child, parent) -> the minimal edge subset with the same
+    transitive closure (valid for DAGs): drop every edge (a, b) for
+    which some longer path a -> .. -> b exists, i.e. (a, b) is also a
+    two-hop pair of the closure. This is the post-extraction edge
+    cleanup of KG construction — relation extractors emit shortcut
+    is-a edges (mention links to both a term and its ancestor) that
+    the reduction removes so the ontology DAG stays minimal; the
+    reference's ancestor-closure dedup (util.py:1217-1224, keeping
+    only the most specific HPO ID per doc) is the node-set special
+    case of the same rule.
+
+    Scale shape: one self-join of the closure keyed on the middle
+    node (shuffle on `_m`), then a left-anti join back onto the edge
+    set. For ontology-sized closures the anti-join side broadcasts;
+    for corpus-scale graphs both sides hash-partition on
+    (child, parent). No driver collection at any size.
+    """
+    e = edges.select("child", "parent").distinct()
+    if closure is None:
+        closure = transitive_closure(e, max_iters=max_iters)
+    left = closure.select(
+        F.col("node").alias("child"), F.col("anc").alias("_m")
+    )
+    right = closure.select(
+        F.col("node").alias("_m"), F.col("anc").alias("parent")
+    )
+    two_hop = left.join(right, "_m").select("child", "parent").distinct()
+    return e.join(two_hop, ["child", "parent"], "left_anti")
+
+
 def star_components(
     star_edges: DataFrame,
     nodes: DataFrame | None = None,

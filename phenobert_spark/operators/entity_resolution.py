@@ -174,3 +174,45 @@ def negative_sample_triples(
             "head", "rel", "tail", F.col("_ent").alias("neg_tail")
         )
     )
+
+
+def fuse_triples(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    source: str = "src",
+    confidence: str = "conf",
+) -> DataFrame:
+    """Knowledge fusion / conflict resolution: many extractors (or many
+    documents) assert conflicting objects for the same (subject,
+    predicate); keep the object with the greatest total confidence
+    across sources (Knowledge-Vault-style weighted voting). Ties break
+    toward more distinct supporting sources, then the lexicographically
+    smallest object, so the winner is a pure function of the input set.
+
+    Output: one row per (subj, pred) with the fused ``obj``, its
+    summed ``support``, the distinct supporting-source count ``n_src``
+    and the number of competing objects ``n_alt`` (1 = no conflict).
+
+    Scale shape: one partial-aggregated groupBy on (subj, pred, obj)
+    — map-side combine collapses per-source repeats before the
+    shuffle — then a (subj, pred)-keyed window over the already
+    object-collapsed rows, whose per-group size is the number of
+    DISTINCT competing objects (small by construction), never the
+    number of supporting mentions. No driver collection.
+    """
+    support = triples.groupBy(subj, pred, obj).agg(
+        F.sum(confidence).alias("support"),
+        F.countDistinct(source).alias("n_src"),
+    )
+    grp = Window.partitionBy(subj, pred)
+    w = grp.orderBy(
+        F.col("support").desc(), F.col("n_src").desc(), F.col(obj).asc()
+    )
+    return (
+        support.withColumn("n_alt", F.count(F.lit(1)).over(grp))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

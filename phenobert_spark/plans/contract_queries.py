@@ -4579,6 +4579,116 @@ def q148(spark, sf_dir):
     return out.orderBy("head", "tail")
 
 
+@register(
+    "q149_transitive_reduction",
+    """
+    WITH RECURSIVE raw AS (
+      SELECT 'N' || n_nationkey AS child, 'R' || n_regionkey AS parent
+      FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'R' || n_regionkey
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    ), e AS (
+      SELECT DISTINCT child, parent FROM raw
+    ), closure AS (
+      SELECT child AS node, parent AS anc FROM e
+      UNION
+      SELECT c.node, e2.parent FROM closure c JOIN e e2 ON c.anc = e2.child
+    )
+    SELECT e.child, e.parent FROM e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM closure c1 JOIN closure c2 ON c1.anc = c2.node
+      WHERE c1.node = e.child AND c2.anc = e.parent
+    )
+    ORDER BY child, parent
+    """,
+)
+def q149(spark, sf_dir):
+    """Transitive reduction of a DAG
+    (operators/closure.transitive_reduction): the q08 taxonomy edges
+    plus extractor-style shortcut edges (supplier -> region directly,
+    skipping the nation hop); the reduction must drop exactly the
+    shortcuts and keep the two-hop chain. Closure self-join keyed on
+    the middle node + left-anti back onto the edge set — the
+    post-extraction is-a edge cleanup of KG construction."""
+    from ..operators.closure import transitive_reduction
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("child"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("parent"),
+            )
+        )
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("child"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+            )
+        )
+    )
+    return transitive_reduction(edges).orderBy("child", "parent")
+
+
+@register(
+    "q150_fuse_triples",
+    """
+    WITH tr AS (
+      SELECT 'P' || l_partkey AS subj, 'supplied_by' AS pred,
+             'S' || l_suppkey AS obj, 'O' || l_orderkey AS src,
+             CAST(l_quantity AS BIGINT) AS conf
+      FROM lineitem
+    ), sup AS (
+      SELECT subj, pred, obj,
+             CAST(SUM(conf) AS BIGINT) AS support,
+             COUNT(DISTINCT src) AS n_src
+      FROM tr GROUP BY subj, pred, obj
+    )
+    SELECT subj, pred, obj, support, n_src, n_alt FROM (
+      SELECT s.*,
+             COUNT(*) OVER (PARTITION BY subj, pred) AS n_alt,
+             ROW_NUMBER() OVER (
+               PARTITION BY subj, pred
+               ORDER BY support DESC, n_src DESC, obj ASC) AS rn
+      FROM sup s
+    )
+    WHERE rn = 1
+    ORDER BY subj
+    """,
+)
+def q150(spark, sf_dir):
+    """Knowledge fusion / conflict resolution
+    (operators/entity_resolution.fuse_triples): every lineitem asserts
+    (part)-[supplied_by]->(supplier) with order-id provenance and
+    quantity confidence; per part the fused triple keeps the supplier
+    with the greatest integer-exact summed quantity (ties: more
+    distinct orders, then smallest supplier id). Map-side-combined
+    groupBy then a window over the object-collapsed rows only —
+    the Knowledge-Vault-style voting stage of KG construction."""
+    from ..operators.entity_resolution import fuse_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    tr = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("subj"),
+        F.lit("supplied_by").alias("pred"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("obj"),
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.col("l_quantity").cast("long").alias("conf"),
+    )
+    out = fuse_triples(tr)
+    return out.select(
+        "subj", "pred", "obj", "support", "n_src", "n_alt"
+    ).orderBy("subj")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -4644,6 +4754,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q146_bpe_merges",
     "q147_entity_resolution",
     "q148_kg_negative_sample",
+    "q149_transitive_reduction",
+    "q150_fuse_triples",
 ]
 
 

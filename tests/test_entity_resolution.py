@@ -94,3 +94,56 @@ def test_negative_sample_requires_two_entities(spark):
     )
     with pytest.raises(Exception, match="2 distinct tail entities"):
         negative_sample_triples(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# fuse_triples (knowledge fusion / conflict resolution)
+# ---------------------------------------------------------------------------
+
+FUSE_ROWS = [
+    # (subj, pred, obj, src, conf)
+    ("P1", "supplied_by", "S1", "o1", 5),
+    ("P1", "supplied_by", "S1", "o2", 5),   # S1 support 10, 2 sources
+    ("P1", "supplied_by", "S2", "o3", 9),   # S2 support 9 -> loses
+    ("P2", "supplied_by", "S3", "o4", 4),
+    ("P2", "supplied_by", "S4", "o5", 2),   # tie support 4 below...
+    ("P2", "supplied_by", "S4", "o5", 2),   # same src repeated: n_src 1
+    ("P3", "supplied_by", "S9", "o6", 1),   # unconflicted
+]
+
+
+def test_fuse_triples_weighted_vote_and_conflict_counts(spark):
+    from phenobert_spark.operators.entity_resolution import fuse_triples
+
+    tr = spark.createDataFrame(
+        FUSE_ROWS, "subj string, pred string, obj string, src string, conf bigint"
+    )
+    out = {r.subj: r for r in fuse_triples(tr).collect()}
+    assert set(out) == {"P1", "P2", "P3"}
+    # P1: S1 wins on summed support 10 > 9 despite S2's larger single claim
+    assert (out["P1"].obj, out["P1"].support, out["P1"].n_src, out["P1"].n_alt) == (
+        "S1", 10, 2, 2,
+    )
+    # P2: support ties 4 = 4 -> S3 wins on more distinct sources (1 vs 1?)
+    # S3: one src conf 4 -> support 4, n_src 1; S4: one distinct src, 2+2=4.
+    # Support and n_src both tie -> lexicographic obj: S3 < S4.
+    assert (out["P2"].obj, out["P2"].support, out["P2"].n_src, out["P2"].n_alt) == (
+        "S3", 4, 1, 2,
+    )
+    # P3: no conflict
+    assert (out["P3"].obj, out["P3"].n_alt) == ("S9", 1)
+
+
+def test_fuse_triples_source_count_breaks_support_tie(spark):
+    from phenobert_spark.operators.entity_resolution import fuse_triples
+
+    rows = [
+        ("P1", "r", "SB", "o1", 6),            # SB: support 6, 1 source
+        ("P1", "r", "SA", "o2", 3),
+        ("P1", "r", "SA", "o3", 3),            # SA: support 6, 2 sources -> wins
+    ]
+    tr = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, src string, conf bigint"
+    )
+    row = fuse_triples(tr).collect()[0]
+    assert (row.obj, row.support, row.n_src) == ("SA", 6, 2)

@@ -109,3 +109,29 @@ def test_triangles_match_brute_force_random(spark):
         r.node: (r.degree, r.triangles) for r in triangle_count(e).collect()
     }
     assert got == _tri_ref(edges)
+
+
+def test_transitive_reduction_drops_exactly_the_shortcuts(spark):
+    from phenobert_spark.operators.closure import transitive_reduction
+
+    # chain a->b->c->d plus every shortcut; reduction = the chain.
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    shortcuts = [("a", "c"), ("a", "d"), ("b", "d")]
+    # plus a disconnected minimal edge that must survive untouched
+    extra = [("x", "y")]
+    edges = spark.createDataFrame(
+        chain + shortcuts + extra, "child string, parent string"
+    )
+    out = {(r.child, r.parent) for r in transitive_reduction(edges).collect()}
+    assert out == set(chain + extra)
+
+
+def test_transitive_reduction_keeps_diamond_sides(spark):
+    from phenobert_spark.operators.closure import transitive_reduction
+
+    # diamond a->{b,c}->d: no edge is implied by a longer path,
+    # so the reduction is the identity.
+    edges_l = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(edges_l, "child string, parent string")
+    out = {(r.child, r.parent) for r in transitive_reduction(edges).collect()}
+    assert out == set(edges_l)
