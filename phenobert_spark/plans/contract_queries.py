@@ -4689,6 +4689,252 @@ def q150(spark, sf_dir):
     ).orderBy("subj")
 
 
+@register(
+    "q151_bgp_match",
+    """
+    WITH tr AS (
+      SELECT 'S' || s_suppkey AS subj, 'located_in' AS pred,
+             'N' || s_nationkey AS obj FROM supplier
+      UNION ALL
+      SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'part_of', 'R' || n_regionkey FROM nation
+    )
+    SELECT DISTINCT a.subj AS e, a.obj AS n
+    FROM tr a JOIN tr b ON a.obj = b.subj
+    WHERE a.pred = 'located_in' AND b.pred = 'part_of' AND b.obj = 'R1'
+    ORDER BY e, n
+    """,
+)
+def q151(spark, sf_dir):
+    """SPARQL-style basic-graph-pattern match
+    (operators/kg_query.bgp_match): the conjunctive pattern
+    (?e located_in ?n)(?n part_of R1) over a heterogeneous triple
+    table — every supplier and customer entity located in a region-1
+    nation, with its nation binding. Constants compile to pushed-down
+    scan predicates; the variable join is a plain equi-join Catalyst
+    reorders — the KG-serving twin of the reference's search REPL
+    (reference phenobert/utils/api.py:1-40)."""
+    from ..operators.kg_query import bgp_match
+
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    triples = (
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+                F.lit("located_in").alias("pred"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+                F.lit("part_of").alias("pred"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+    )
+    out = bgp_match(
+        triples,
+        [("?e", "located_in", "?n"), ("?n", "part_of", "R1")],
+    )
+    return out.select("e", "n").orderBy("e", "n")
+
+
+@register(
+    "q152_kg_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT 'C' || o_custkey AS subj, 'status' AS pred,
+             o_orderstatus AS obj, COUNT(*) AS conf
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+      GROUP BY 1, 2, 3
+    ), n AS (
+      SELECT 'C' || o_custkey AS subj, 'status' AS pred,
+             o_orderstatus AS obj, COUNT(*) AS conf
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      GROUP BY 1, 2, 3
+    )
+    SELECT COALESCE(o.subj, n.subj) AS subj,
+           COALESCE(o.pred, n.pred) AS pred,
+           COALESCE(o.obj, n.obj)   AS obj,
+           COALESCE(o.conf, 0)      AS old_conf,
+           COALESCE(n.conf, 0)      AS new_conf,
+           CASE WHEN o.subj IS NULL THEN 'added'
+                WHEN n.subj IS NULL THEN 'removed'
+                WHEN o.conf <> n.conf THEN 'changed' END AS change
+    FROM o FULL OUTER JOIN n
+      ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+    WHERE CASE WHEN o.subj IS NULL THEN 'added'
+               WHEN n.subj IS NULL THEN 'removed'
+               WHEN o.conf <> n.conf THEN 'changed' END IS NOT NULL
+    ORDER BY subj, pred, obj
+    """,
+)
+def q152(spark, sf_dir):
+    """KG snapshot delta (operators/kg_query.kg_snapshot_diff): the
+    1994 vs 1995 (customer, status, orderstatus, yearly-count) triple
+    snapshots; one full-outer equi-join on the triple key emits
+    added / removed / changed rows only — day-over-day incremental KG
+    maintenance as one bucketable shuffle. Null confs coalesced to 0
+    at the contract boundary (counts are >= 1)."""
+    from ..operators.kg_query import kg_snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def snap(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                F.col("o_orderdate").between(f"{year}-01-01", f"{year}-12-31")
+            )
+            .groupBy(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+            .agg(F.count("*").alias("conf"))
+        )
+
+    out = kg_snapshot_diff(snap(1994), snap(1995), conf_col="conf")
+    return out.select(
+        "subj",
+        "pred",
+        "obj",
+        F.coalesce("old_conf", F.lit(0)).alias("old_conf"),
+        F.coalesce("new_conf", F.lit(0)).alias("new_conf"),
+        "change",
+    ).orderBy("subj", "pred", "obj")
+
+
+@register(
+    "q153_neighborhood_jaccard",
+    """
+    WITH adj AS (
+      SELECT DISTINCT 'S' || l_suppkey AS n, 'P' || l_partkey AS nb
+      FROM lineitem
+    ), deg AS (
+      SELECT n, COUNT(*) AS deg FROM adj GROUP BY n
+    ), sh AS (
+      SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS n_shared
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT node_a, node_b, n_shared, da.deg AS deg_a, db.deg AS deg_b,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / (da.deg + db.deg - n_shared), 6) AS jaccard
+    FROM sh
+    JOIN deg da ON sh.node_a = da.n
+    JOIN deg db ON sh.node_b = db.n
+    ORDER BY node_a, node_b
+    """,
+)
+def q153(spark, sf_dir):
+    """Entity-neighborhood Jaccard (operators/kg_query.
+    neighborhood_jaccard): supplier similarity by shared supplied
+    parts. Pairs materialize ONLY through a shared neighbor (the
+    inverted-index self-join on nb), never the O(n^2) entity cross —
+    the entity-dedup candidate generator for KG fusion, same shape at
+    entity granularity as q126's LSH-pair path at document
+    granularity."""
+    from ..operators.kg_query import neighborhood_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("node"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("neighbor"),
+    )
+    return neighborhood_jaccard(edges).orderBy("node_a", "node_b")
+
+
+@register(
+    "q154_random_walks",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'P' || l_partkey AS s, 'S' || l_suppkey AS d
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), starts AS (
+      SELECT DISTINCT s AS start FROM e
+    ), w0 AS (
+      SELECT start || '#0' AS walk_id, start, start AS cur,
+             start AS path, 0 AS steps
+      FROM starts
+    ), s1 AS (
+      SELECT w0.walk_id, ANY_VALUE(w0.start) AS start,
+             ANY_VALUE(w0.cur) AS cur0, ANY_VALUE(w0.path) AS path,
+             ANY_VALUE(w0.steps) AS steps,
+             arg_min(e.d, md5(w0.walk_id || '|1|' || e.d)) AS nd
+      FROM w0 LEFT JOIN e ON w0.cur = e.s
+      GROUP BY w0.walk_id
+    ), w1 AS (
+      SELECT walk_id, start, COALESCE(nd, cur0) AS cur,
+             CASE WHEN nd IS NULL THEN path
+                  ELSE path || '->' || nd END AS path,
+             steps + CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS steps
+      FROM s1
+    ), s2 AS (
+      SELECT w1.walk_id, ANY_VALUE(w1.start) AS start,
+             ANY_VALUE(w1.cur) AS cur0, ANY_VALUE(w1.path) AS path,
+             ANY_VALUE(w1.steps) AS steps,
+             arg_min(e.d, md5(w1.walk_id || '|2|' || e.d)) AS nd
+      FROM w1 LEFT JOIN e ON w1.cur = e.s
+      GROUP BY w1.walk_id
+    )
+    SELECT walk_id, start,
+           CASE WHEN nd IS NULL THEN path
+                ELSE path || '->' || nd END AS path_str,
+           CAST(steps + CASE WHEN nd IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS steps
+    FROM s2
+    ORDER BY walk_id
+    """,
+)
+def q154(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus
+    (operators/kg_query.random_walks): 2-hop walks from every part
+    over part->supplier->nation edges; each hop picks the out-neighbor
+    minimizing md5(walk_id|step|neighbor) — a pure function of the
+    walk, so shards and re-runs derive bit-identical training walks
+    (the md5-draw discipline of operators/sampling.py applied to graph
+    traversal). Each hop is one groupBy(min_by) — map-side partial,
+    no per-partition sort. Path serialized for the contract boundary
+    (arrays crash the driver canonicalizer — q101 lesson)."""
+    from ..operators.kg_query import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.select(
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+    )
+    out = random_walks(edges, walk_len=2)
+    return out.select(
+        "walk_id",
+        "start",
+        F.concat_ws("->", "path").alias("path_str"),
+        F.col("steps").cast("long").alias("steps"),
+    ).orderBy("walk_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

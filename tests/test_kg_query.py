@@ -1,0 +1,156 @@
+"""KG query operators (operators/kg_query.py): BGP matching, snapshot
+diff, neighborhood Jaccard, deterministic random walks — against
+hand-computed values on tiny graphs."""
+
+import hashlib
+
+import pytest
+
+from phenobert_spark.operators.kg_query import (
+    bgp_match,
+    kg_snapshot_diff,
+    neighborhood_jaccard,
+    random_walks,
+)
+
+TRIPLES = [
+    ("s1", "located_in", "n1"),
+    ("s2", "located_in", "n2"),
+    ("c1", "located_in", "n1"),
+    ("n1", "part_of", "r1"),
+    ("n2", "part_of", "r2"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def test_bgp_two_pattern_join(spark, triples):
+    out = bgp_match(
+        triples, [("?e", "located_in", "?n"), ("?n", "part_of", "r1")]
+    )
+    rows = {(r.e, r.n) for r in out.collect()}
+    assert rows == {("s1", "n1"), ("c1", "n1")}
+
+
+def test_bgp_all_variables_and_constants(spark, triples):
+    out = bgp_match(triples, [("?s", "?p", "?o")])
+    assert out.count() == len(TRIPLES)
+    one = bgp_match(triples, [("s1", "located_in", "?n")])
+    assert [r.n for r in one.collect()] == ["n1"]
+
+
+def test_bgp_repeated_variable_is_equality(spark):
+    t = spark.createDataFrame(
+        [("a", "self", "a"), ("a", "self", "b")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_match(t, [("?x", "self", "?x")])
+    assert [r.x for r in out.collect()] == ["a"]
+
+
+def test_bgp_rejects_empty(spark, triples):
+    with pytest.raises(ValueError):
+        bgp_match(triples, [])
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [("a", "p", "x", 1), ("b", "p", "y", 2), ("c", "p", "z", 3)],
+        "subj string, pred string, obj string, conf int",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x", 1), ("b", "p", "y", 5), ("d", "p", "w", 4)],
+        "subj string, pred string, obj string, conf int",
+    )
+    out = {
+        r.subj: (r.change, r.old_conf, r.new_conf)
+        for r in kg_snapshot_diff(old, new, conf_col="conf").collect()
+    }
+    # (a,p,x) unchanged -> absent
+    assert out == {
+        "b": ("changed", 2, 5),
+        "c": ("removed", 3, None),
+        "d": ("added", None, 4),
+    }
+
+
+def test_snapshot_diff_without_conf(spark):
+    old = spark.createDataFrame([("a", "p", "x")], "subj string, pred string, obj string")
+    new = spark.createDataFrame([("b", "p", "y")], "subj string, pred string, obj string")
+    out = {(r.subj, r.change) for r in kg_snapshot_diff(old, new).collect()}
+    assert out == {("a", "removed"), ("b", "added")}
+
+
+def test_neighborhood_jaccard_hand_computed(spark):
+    # a: {x, y}; b: {y, z}; c: {q}  -> only (a, b) share, J = 1/3
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("b", "z"), ("c", "q")],
+        "node string, neighbor string",
+    )
+    rows = neighborhood_jaccard(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.node_a, r.node_b, r.n_shared, r.deg_a, r.deg_b) == ("a", "b", 1, 2, 2)
+    assert r.jaccard == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_neighborhood_jaccard_hub_guard(spark):
+    # hub neighbor h is shared by all three nodes; with the guard at 2
+    # it is dropped BEFORE pairing and before degree counting
+    edges = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h"), ("a", "y"), ("b", "y")],
+        "node string, neighbor string",
+    )
+    no_guard = neighborhood_jaccard(edges)
+    assert no_guard.count() == 3  # (a,b), (a,c), (b,c)
+    guarded = neighborhood_jaccard(edges, max_neighbor_degree=2).collect()
+    assert len(guarded) == 1
+    r = guarded[0]
+    assert (r.node_a, r.node_b, r.deg_a, r.deg_b) == ("a", "b", 1, 1)
+    assert r.jaccard == 1.0
+
+
+def _expected_hop(walk_id: str, step: int, cands: list[str]) -> str:
+    return min(
+        cands,
+        key=lambda d: hashlib.md5(f"{walk_id}|{step}|{d}".encode()).hexdigest(),
+    )
+
+
+def test_random_walks_follow_md5_argmin(spark):
+    edges = spark.createDataFrame(
+        [("p", "s1"), ("p", "s2"), ("p", "s3"), ("s1", "n"), ("s2", "n"), ("s3", "m")],
+        "src string, dst string",
+    )
+    out = {r.walk_id: r for r in random_walks(edges, walk_len=2).collect()}
+    # starts at every SOURCE node: p, s1, s2, s3
+    assert set(out) == {"p#0", "s1#0", "s2#0", "s3#0"}
+    hop1 = _expected_hop("p#0", 1, ["s1", "s2", "s3"])
+    hop2 = {"s1": "n", "s2": "n", "s3": "m"}[hop1]
+    assert list(out["p#0"].path) == ["p", hop1, hop2]
+    assert out["p#0"].steps == 2
+    # s-walks hit the sink n/m after one hop and stop early
+    assert list(out["s1#0"].path) == ["s1", "n"] and out["s1#0"].steps == 1
+
+
+def test_random_walks_multiple_per_node_diverge_deterministically(spark):
+    edges = spark.createDataFrame(
+        [("p", "a"), ("p", "b"), ("p", "c"), ("p", "d")],
+        "src string, dst string",
+    )
+    out = {r.walk_id: list(r.path) for r in random_walks(edges, walk_len=1, walks_per_node=3).collect()}
+    assert set(out) == {"p#0", "p#1", "p#2"}
+    for wid, path in out.items():
+        assert path == ["p", _expected_hop(wid, 1, ["a", "b", "c", "d"])]
+    # re-run is bit-identical
+    again = {r.walk_id: list(r.path) for r in random_walks(edges, walk_len=1, walks_per_node=3).collect()}
+    assert again == out
+
+
+def test_random_walks_rejects_bad_len(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        random_walks(edges, walk_len=0)
