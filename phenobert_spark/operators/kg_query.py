@@ -187,6 +187,41 @@ def neighborhood_jaccard(
     return out.select("node_a", "node_b", "n_shared", "deg_a", "deg_b", "jaccard")
 
 
+def kg_time_travel(
+    changelog: DataFrame,
+    at_ts,
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Reconstruct the KG snapshot at ``at_ts`` from an add/remove log.
+
+    ``changelog`` rows are (subj, pred, obj, ts, op) with op in
+    {'add', 'remove'}; a triple is live at T iff its latest event with
+    ts <= T is an 'add'. Same-timestamp add+remove resolves to remove
+    (the conservative order). One filtered scan + one max_by groupBy
+    on the triple key — map-side partial, no window sort; with the log
+    bucketed by (subj, pred, obj) the shuffle disappears. This is the
+    replay twin of ``kg_snapshot_diff``: diff derives the log from two
+    snapshots, time-travel derives any snapshot from the log.
+    """
+    # rank 'remove' above 'add' so the max_by tiebreak at equal ts is
+    # deterministic and conservative
+    op_rank = F.when(F.col(op_col) == "remove", F.lit(1)).otherwise(F.lit(0))
+    last = (
+        changelog.filter(F.col(ts_col) <= at_ts)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max_by(
+                F.col(op_col), F.struct(F.col(ts_col), op_rank.alias("_r"))
+            ).alias("_last_op"),
+            F.max(F.col(ts_col)).alias("as_of_ts"),
+        )
+    )
+    return last.filter(F.col("_last_op") == "add").select(
+        "subj", "pred", "obj", "as_of_ts"
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int,

@@ -1,0 +1,211 @@
+"""KG schema operators: SHACL-style shape validation, predicate schema
+induction, and inverse-predicate detection.
+
+The reference hard-codes its schema — every emitted annotation is a
+(doc, has_phenotype, HPO:ID) row and the ontology's structure is fixed
+by ``hpo.json`` (reference ``phenobert/utils/util.py:27-44``); nothing
+validates or infers. A KG built from 10^12 heterogeneous documents
+cannot assume that: extraction bugs surface as cardinality violations,
+dangling object references, and malformed literals, and downstream
+fusion needs to KNOW which predicates are functional before it can
+pick conflict-resolution rules (``entity_resolution.fuse_triples``).
+
+Scale shape (100 TB):
+
+* ``validate_shapes`` turns each constraint into one aggregation or
+  anti-join over the triple scan — cardinality checks are a
+  groupBy(subj) count (map-side combinable), range checks are a
+  broadcastable left-anti join against the class node-set, pattern
+  checks are a stateless filter. No constraint ever materializes the
+  conforming rows; only violations flow.
+* ``infer_predicate_schema`` is a two-level aggregation: per-(pred,
+  subj) and per-(pred, obj) partial counts, then a per-pred rollup.
+  Functionality / inverse-functionality come from the max of those
+  partials — never a distinct-collect.
+* ``detect_inverse_predicates`` joins the triple table to its own
+  (obj, subj) flip on the pair key, so candidate predicate pairs
+  materialize only through actually-shared pairs (the same
+  inverted-index discipline as ``kg_query.neighborhood_jaccard``);
+  the per-(p, q) overlap then rolls up map-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Shape:
+    """One SHACL-style constraint on a predicate.
+
+    ``min_count``/``max_count`` bound the number of ``pred`` triples
+    per focus subject (min_count needs ``focus``: the node set the
+    constraint quantifies over, since subjects with zero triples never
+    appear in the triple table). ``obj_class`` restricts objects to a
+    node set (sh:class analog). ``obj_pattern`` is an RE2-style regex
+    objects must fully match (sh:pattern analog).
+    """
+
+    pred: str
+    min_count: int | None = None
+    max_count: int | None = None
+    obj_class: DataFrame | None = None
+    obj_pattern: str | None = None
+    focus: DataFrame | None = None
+
+
+def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
+    """Validate a (subj, pred, obj) table against SHACL-style shapes.
+
+    Returns violation rows only:
+    (subj, pred, constraint, detail) where ``constraint`` is one of
+    'min_count' / 'max_count' / 'obj_class' / 'obj_pattern' and
+    ``detail`` carries the offending count or object. Conforming data
+    produces an empty result.
+    """
+    if not shapes:
+        raise ValueError("validate_shapes needs at least one Shape")
+    spark = triples.sparkSession
+    parts: list[DataFrame] = []
+    for sh in shapes:
+        scoped = triples.filter(F.col("pred") == sh.pred)
+        if sh.min_count is not None or sh.max_count is not None:
+            counts = scoped.groupBy("subj").agg(F.count("*").alias("_n"))
+            if sh.min_count is not None:
+                if sh.focus is None:
+                    raise ValueError(
+                        f"min_count on {sh.pred!r} needs a focus node set: "
+                        "zero-triple subjects are invisible in the triple table"
+                    )
+                focus = sh.focus.select(F.col(sh.focus.columns[0]).alias("subj"))
+                have = counts.filter(F.col("_n") >= sh.min_count).select("subj")
+                missing = focus.join(have, on="subj", how="left_anti")
+                under = (
+                    missing.join(counts, on="subj", how="left")
+                    .select(
+                        "subj",
+                        F.lit(sh.pred).alias("pred"),
+                        F.lit("min_count").alias("constraint"),
+                        F.coalesce(F.col("_n"), F.lit(0))
+                        .cast("string")
+                        .alias("detail"),
+                    )
+                )
+                parts.append(under)
+            if sh.max_count is not None:
+                parts.append(
+                    counts.filter(F.col("_n") > sh.max_count).select(
+                        "subj",
+                        F.lit(sh.pred).alias("pred"),
+                        F.lit("max_count").alias("constraint"),
+                        F.col("_n").cast("string").alias("detail"),
+                    )
+                )
+        if sh.obj_class is not None:
+            cls = sh.obj_class.select(F.col(sh.obj_class.columns[0]).alias("obj"))
+            parts.append(
+                scoped.join(F.broadcast(cls), on="obj", how="left_anti").select(
+                    "subj",
+                    F.lit(sh.pred).alias("pred"),
+                    F.lit("obj_class").alias("constraint"),
+                    F.col("obj").alias("detail"),
+                )
+            )
+        if sh.obj_pattern is not None:
+            parts.append(
+                scoped.filter(~F.col("obj").rlike(sh.obj_pattern)).select(
+                    "subj",
+                    F.lit(sh.pred).alias("pred"),
+                    F.lit("obj_pattern").alias("constraint"),
+                    F.col("obj").alias("detail"),
+                )
+            )
+    if not parts:
+        raise ValueError("no constraints set on any Shape")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def infer_predicate_schema(triples: DataFrame) -> DataFrame:
+    """Induce a per-predicate schema summary from the triple table.
+
+    Returns one row per predicate:
+    (pred, n_triples, n_subj, n_obj, max_out, max_in,
+    is_functional, is_inverse_functional) where max_out is the largest
+    number of DISTINCT objects any one subject has under the predicate
+    (functional ⇔ max_out == 1) and max_in the converse.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    out_deg = t.groupBy("pred", "subj").agg(F.count("*").alias("_o"))
+    in_deg = t.groupBy("pred", "obj").agg(F.count("*").alias("_i"))
+    by_subj = out_deg.groupBy("pred").agg(
+        F.sum("_o").alias("n_triples"),
+        F.count("*").alias("n_subj"),
+        F.max("_o").alias("max_out"),
+    )
+    by_obj = in_deg.groupBy("pred").agg(
+        F.count("*").alias("n_obj"),
+        F.max("_i").alias("max_in"),
+    )
+    return by_subj.join(by_obj, on="pred").select(
+        "pred",
+        F.col("n_triples").cast("bigint").alias("n_triples"),
+        F.col("n_subj").cast("bigint").alias("n_subj"),
+        F.col("n_obj").cast("bigint").alias("n_obj"),
+        F.col("max_out").cast("bigint").alias("max_out"),
+        F.col("max_in").cast("bigint").alias("max_in"),
+        (F.col("max_out") == 1).alias("is_functional"),
+        (F.col("max_in") == 1).alias("is_inverse_functional"),
+    )
+
+
+def detect_inverse_predicates(
+    triples: DataFrame, min_jaccard: float = 0.9
+) -> DataFrame:
+    """Find predicate pairs (p, q) where q's triples are p's flipped.
+
+    Jaccard over pair sets: |{(s,o): (s,p,o)} ∩ {(s,o): (o,q,s)}| /
+    |union|. Returns (pred_a, pred_b, n_shared, n_a, n_b, jaccard)
+    with pred_a < pred_b, jaccard rounded to 6 places, filtered to
+    ``min_jaccard``. Self-pairs (symmetric predicates) are excluded.
+    Candidate pairs materialize only through shared (s, o) pairs.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    fwd = t.select("pred", "subj", "obj")
+    rev = t.select(
+        F.col("pred").alias("_q"),
+        F.col("obj").alias("subj"),
+        F.col("subj").alias("obj"),
+    )
+    sizes = t.groupBy("pred").agg(F.count("*").alias("_n"))
+    shared = (
+        fwd.join(rev, on=["subj", "obj"])
+        .filter(F.col("pred") < F.col("_q"))
+        .groupBy(F.col("pred").alias("pred_a"), F.col("_q").alias("pred_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("pred").alias("pred_a"), F.col("_n").alias("n_a")),
+            on="pred_a",
+        )
+        .join(
+            sizes.select(F.col("pred").alias("pred_b"), F.col("_n").alias("n_b")),
+            on="pred_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("pred_a", "pred_b", "n_shared", "n_a", "n_b", "jaccard")

@@ -9,6 +9,7 @@ import pytest
 from phenobert_spark.operators.kg_query import (
     bgp_match,
     kg_snapshot_diff,
+    kg_time_travel,
     neighborhood_jaccard,
     random_walks,
 )
@@ -111,6 +112,32 @@ def test_neighborhood_jaccard_hub_guard(spark):
     r = guarded[0]
     assert (r.node_a, r.node_b, r.deg_a, r.deg_b) == ("a", "b", 1, 1)
     assert r.jaccard == 1.0
+
+
+def test_time_travel_replays_log(spark):
+    log = spark.createDataFrame(
+        [
+            ("a", "p", "x", 1, "add"),
+            ("a", "p", "x", 3, "remove"),
+            ("b", "p", "y", 2, "add"),
+            ("c", "p", "z", 5, "add"),  # after the snapshot point
+            ("d", "p", "w", 1, "add"),
+            ("d", "p", "w", 2, "remove"),
+            ("d", "p", "w", 4, "add"),  # re-added before the snapshot
+        ],
+        "subj string, pred string, obj string, ts int, op string",
+    )
+    live = {r.subj: r.as_of_ts for r in kg_time_travel(log, 4).collect()}
+    # a removed at 3; b live since 2; c not yet added; d re-added at 4
+    assert live == {"b": 2, "d": 4}
+
+
+def test_time_travel_tie_resolves_to_remove(spark):
+    log = spark.createDataFrame(
+        [("a", "p", "x", 1, "add"), ("a", "p", "x", 1, "remove")],
+        "subj string, pred string, obj string, ts int, op string",
+    )
+    assert kg_time_travel(log, 9).count() == 0
 
 
 def _expected_hop(walk_id: str, step: int, cands: list[str]) -> str:
