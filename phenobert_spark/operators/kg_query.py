@@ -29,6 +29,12 @@ Scale shape (100 TB):
   hot-block guard as ``entity_resolution.blocked_matches`` (a neighbor
   shared by a million entities contributes quadratic pairs and almost
   no Jaccard signal).
+* ``ego_sample`` bounds the per-hop fan-out at ``fanouts[h]`` edges
+  per frontier node, so the sampled subgraph grows as
+  O(seeds × prod(fanouts)) regardless of graph size — the GNN
+  training-data exporter.
+* ``kg_time_travel`` replays an add/remove changelog to any snapshot
+  with one filtered scan + one max_by groupBy on the triple key.
 * ``random_walks`` keeps one row per walk (not per visited edge) and
   advances all walks one hop per join against the edge table — k hops
   = k equi-joins, each a narrow shuffle on the frontier node. The next
@@ -45,9 +51,34 @@ from pyspark.sql import functions as F
 _TRIPLE_COLS = ("subj", "pred", "obj")
 
 
+def _pattern_scan(triples: DataFrame, pat: tuple[str, str, str], i: int) -> DataFrame:
+    """One BGP pattern → a constant-filtered scan projecting its variables."""
+    if len(pat) != 3:
+        raise ValueError(f"pattern {pat!r} is not a (subj, pred, obj) triple")
+    scan = triples
+    cols = []
+    seen_vars: dict[str, str] = {}
+    for term, col in zip(pat, _TRIPLE_COLS):
+        if term.startswith("?"):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"empty variable name in pattern {pat!r}")
+            if var in seen_vars:
+                # repeated variable inside one pattern: equality filter
+                scan = scan.filter(F.col(col) == F.col(seen_vars[var]))
+            else:
+                seen_vars[var] = col
+                cols.append(F.col(col).alias(var))
+        else:
+            scan = scan.filter(F.col(col) == F.lit(term))
+    return scan.select(*cols) if cols else scan.select(F.lit(1).alias(f"_m{i}"))
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
@@ -57,30 +88,20 @@ def bgp_match(
     (leading ``?`` stripped). Join variables are the columns shared
     between pattern scans; Catalyst reorders the join tree and pushes
     the constant filters into each scan.
+
+    ``optional`` patterns are SPARQL OPTIONAL analogs: each left-joins
+    onto the required block's bindings, leaving its new variables null
+    where unmatched (an optional pattern must share at least one
+    variable with the bindings built so far — a disconnected optional
+    would be a cross join). ``filters`` are SPARQL FILTER analogs:
+    SQL boolean expressions over the variable columns, applied after
+    all joins (Catalyst pushes them down where legal).
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
     out: DataFrame | None = None
     for i, pat in enumerate(patterns):
-        if len(pat) != 3:
-            raise ValueError(f"pattern {pat!r} is not a (subj, pred, obj) triple")
-        scan = triples
-        cols = []
-        seen_vars: dict[str, str] = {}
-        for term, col in zip(pat, _TRIPLE_COLS):
-            if term.startswith("?"):
-                var = term[1:]
-                if not var:
-                    raise ValueError(f"empty variable name in pattern {pat!r}")
-                if var in seen_vars:
-                    # repeated variable inside one pattern: equality filter
-                    scan = scan.filter(F.col(col) == F.col(seen_vars[var]))
-                else:
-                    seen_vars[var] = col
-                    cols.append(F.col(col).alias(var))
-            else:
-                scan = scan.filter(F.col(col) == F.lit(term))
-        proj = scan.select(*cols) if cols else scan.select(F.lit(1).alias(f"_m{i}"))
+        proj = _pattern_scan(triples, pat, i)
         if out is None:
             out = proj
         else:
@@ -92,7 +113,19 @@ def bgp_match(
             )
     assert out is not None
     drop = [c for c in out.columns if c.startswith("_m")]
-    return out.drop(*drop).distinct()
+    out = out.drop(*drop).distinct()
+    for i, pat in enumerate(optional or []):
+        proj = _pattern_scan(triples, pat, i).distinct()
+        shared = sorted(set(out.columns) & set(proj.columns))
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat!r} shares no variable with the "
+                "required block — it would cross-join"
+            )
+        out = out.join(proj, on=shared, how="left")
+    for expr in filters or []:
+        out = out.filter(F.expr(expr))
+    return out
 
 
 def kg_snapshot_diff(
@@ -185,6 +218,64 @@ def neighborhood_jaccard(
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out.select("node_a", "node_b", "n_shared", "deg_a", "deg_b", "jaccard")
+
+
+def ego_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic GraphSAGE-style fanout-capped neighborhood sample.
+
+    From each seed, expand ``len(fanouts)`` hops; at hop h every
+    frontier node keeps at most ``fanouts[h-1]`` of its out-edges —
+    the ones minimizing ``md5(seed|h|src|dst)``, a pure function of
+    the (seed, hop, edge), so shards and re-runs emit bit-identical
+    subgraphs (the md5-draw discipline of ``random_walks``). Returns
+    the sampled subgraph edge list (seed, hop, src, dst).
+
+    Scale shape: each hop is one equi-join frontier×edges plus a
+    row_number window keyed by (seed, src) — the window partition is
+    one frontier node's out-edge list for one seed, so the only skew
+    is graph-intrinsic hub out-degree; cap it upstream with the same
+    hub guard as ``neighborhood_jaccard`` if the graph has 10^6+
+    out-degree hubs. This is the GNN training-data exporter: the union
+    of per-seed subgraphs feeds mini-batch neighborhood aggregation.
+    """
+    from pyspark.sql import Window
+
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError("fanouts must be a non-empty list of ints >= 1")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+    frontier = frontier.withColumn("node", F.col("seed"))
+    parts: list[DataFrame] = []
+    for h, fan in enumerate(fanouts, start=1):
+        cand = frontier.join(e, frontier.node == e._s)
+        draw = F.md5(
+            F.concat_ws(
+                "|", F.col("seed"), F.lit(str(h)), F.col("_s"), F.col("_d")
+            )
+        )
+        w = Window.partitionBy("seed", "node").orderBy(draw)
+        picked = (
+            cand.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= fan)
+            .select(
+                "seed",
+                F.lit(h).alias("hop"),
+                F.col("node").alias("src"),
+                F.col("_d").alias("dst"),
+            )
+        )
+        parts.append(picked)
+        frontier = picked.select("seed", F.col("dst").alias("node")).distinct()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def kg_time_travel(

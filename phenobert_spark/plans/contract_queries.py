@@ -5230,6 +5230,157 @@ def q158(spark, sf_dir):
     ).orderBy("subj", "pred", "obj")
 
 
+@register(
+    "q159_ego_sample",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'P' || l_partkey AS s, 'S' || l_suppkey AS d
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), seeds AS (
+      SELECT 'P' || p_partkey AS seed FROM part WHERE p_partkey <= 40
+    ), h1 AS (
+      SELECT seed, 1 AS hop, e.s AS src, e.d AS dst,
+             ROW_NUMBER() OVER (
+               PARTITION BY seed, e.s
+               ORDER BY md5(seed || '|1|' || e.s || '|' || e.d)
+             ) AS r
+      FROM seeds JOIN e ON seeds.seed = e.s
+    ), h1k AS (
+      SELECT seed, hop, src, dst FROM h1 WHERE r <= 3
+    ), f2 AS (
+      SELECT DISTINCT seed, dst AS node FROM h1k
+    ), h2 AS (
+      SELECT seed, 2 AS hop, e.s AS src, e.d AS dst,
+             ROW_NUMBER() OVER (
+               PARTITION BY seed, e.s
+               ORDER BY md5(seed || '|2|' || e.s || '|' || e.d)
+             ) AS r
+      FROM f2 JOIN e ON f2.node = e.s
+    ), h2k AS (
+      SELECT seed, hop, src, dst FROM h2 WHERE r <= 2
+    )
+    SELECT seed, hop, src, dst FROM h1k
+    UNION ALL
+    SELECT seed, hop, src, dst FROM h2k
+    ORDER BY seed, hop, src, dst
+    """,
+)
+def q159(spark, sf_dir):
+    """GraphSAGE-style ego-network sampling (operators/kg_query.
+    ego_sample): 2-hop fanout-capped [3, 2] subgraphs around 40 part
+    seeds over part->supplier->nation edges. Hop h keeps the out-edges
+    minimizing md5(seed|h|src|dst) — deterministic across shards and
+    re-runs — so the exported subgraph is O(seeds x prod(fanouts))
+    regardless of graph size; per-hop work is one frontier equi-join
+    plus a (seed, node)-keyed row_number window."""
+    from ..operators.kg_query import ego_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    edges = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    seeds = p.filter(F.col("p_partkey") <= 40).select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("seed")
+    )
+    return ego_sample(edges, seeds, fanouts=[3, 2]).orderBy(
+        "seed", "hop", "src", "dst"
+    )
+
+
+@register(
+    "q160_bgp_optional",
+    """
+    WITH tr AS (
+      SELECT 'S' || s_suppkey AS subj, 'located_in' AS pred,
+             'N' || s_nationkey AS obj FROM supplier
+      UNION ALL
+      SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'part_of', 'R' || n_regionkey FROM nation
+      UNION ALL
+      SELECT 'C' || c_custkey, 'acct_band',
+             'B' || CAST(FLOOR(c_acctbal / 1000) AS INT)
+      FROM customer
+    ), req AS (
+      SELECT DISTINCT a.subj AS e, a.obj AS n, b.obj AS r
+      FROM tr a JOIN tr b ON a.obj = b.subj
+      WHERE a.pred = 'located_in' AND b.pred = 'part_of'
+    ), opt AS (
+      SELECT DISTINCT subj AS e, obj AS b FROM tr WHERE pred = 'acct_band'
+    )
+    SELECT req.e AS e, req.n AS n, req.r AS r,
+           COALESCE(opt.b, 'none') AS band
+    FROM req LEFT JOIN opt ON req.e = opt.e
+    WHERE req.r = 'R1' OR req.r = 'R2'
+    ORDER BY 1, 2, 3, 4
+    """,
+)
+def q160(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER (operators/kg_query.bgp_match with
+    optional/filters): entities with their nation and region bindings,
+    OPTIONALly joined to an account-balance band that only customer
+    entities carry (suppliers bind null -> 'none'), FILTERed to
+    regions R1/R2. The optional block is a left join onto the required
+    bindings; the filter is a post-join predicate Catalyst pushes down
+    where legal."""
+    from ..operators.kg_query import bgp_match
+
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    triples = (
+        supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+                F.lit("located_in").alias("pred"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+                F.lit("part_of").alias("pred"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+                F.lit("acct_band").alias("pred"),
+                F.concat(
+                    F.lit("B"),
+                    F.floor(F.col("c_acctbal") / 1000).cast("int"),
+                ).alias("obj"),
+            )
+        )
+    )
+    out = bgp_match(
+        triples,
+        [("?e", "located_in", "?n"), ("?n", "part_of", "?r")],
+        optional=[("?e", "acct_band", "?b")],
+        filters=["r = 'R1' OR r = 'R2'"],
+    )
+    return out.select(
+        "e", "n", "r", F.coalesce("b", F.lit("none")).alias("band")
+    ).orderBy("e", "n", "r", "band")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -5269,6 +5420,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q156_predicate_schema",
     "q157_inverse_predicates",
     "q158_kg_time_travel",
+    "q159_ego_sample",
+    "q160_bgp_optional",
     # fresh value-oracles (were rows-only through r4):
     "q90_hpo_pipeline_fixture",
     "q91_multimodal_features",

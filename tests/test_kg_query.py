@@ -8,6 +8,7 @@ import pytest
 
 from phenobert_spark.operators.kg_query import (
     bgp_match,
+    ego_sample,
     kg_snapshot_diff,
     kg_time_travel,
     neighborhood_jaccard,
@@ -55,6 +56,78 @@ def test_bgp_repeated_variable_is_equality(spark):
 def test_bgp_rejects_empty(spark, triples):
     with pytest.raises(ValueError):
         bgp_match(triples, [])
+
+
+def test_bgp_optional_binds_null_when_unmatched(spark):
+    t = spark.createDataFrame(
+        [
+            ("s1", "located_in", "n1"),
+            ("c1", "located_in", "n1"),
+            ("c1", "band", "b7"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        r.e: r.b
+        for r in bgp_match(
+            t, [("?e", "located_in", "?n")], optional=[("?e", "band", "?b")]
+        ).collect()
+    }
+    assert out == {"s1": None, "c1": "b7"}
+
+
+def test_bgp_filter_applies_after_joins(spark, triples):
+    out = bgp_match(
+        triples,
+        [("?e", "located_in", "?n"), ("?n", "part_of", "?r")],
+        filters=["r = 'r2'"],
+    ).collect()
+    assert [(r.e, r.r) for r in out] == [("s2", "r2")]
+
+
+def test_bgp_rejects_disconnected_optional(spark, triples):
+    with pytest.raises(ValueError):
+        bgp_match(
+            triples, [("?e", "located_in", "?n")], optional=[("?x", "part_of", "?y")]
+        )
+
+
+def _md5_rank(seed, hop, src, cands):
+    return sorted(
+        cands,
+        key=lambda d: hashlib.md5(f"{seed}|{hop}|{src}|{d}".encode()).hexdigest(),
+    )
+
+
+def test_ego_sample_caps_fanout_deterministically(spark):
+    edges = spark.createDataFrame(
+        [("p", "a"), ("p", "b"), ("p", "c"), ("a", "x"), ("a", "y"), ("b", "x")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("p",)], "seed string")
+    out = ego_sample(edges, seeds, fanouts=[2, 1]).collect()
+    hop1 = {r.dst for r in out if r.hop == 1}
+    assert hop1 == set(_md5_rank("p", 1, "p", ["a", "b", "c"])[:2])
+    # hop 2: each sampled hop-1 node contributes at most 1 out-edge
+    hop2 = {(r.src, r.dst) for r in out if r.hop == 2}
+    expected2 = set()
+    for node in hop1:
+        cands = {"a": ["x", "y"], "b": ["x"], "c": []}[node]
+        if cands:
+            expected2.add((node, _md5_rank("p", 2, node, cands)[0]))
+    assert hop2 == expected2
+    # re-run bit-identical
+    again = {(r.seed, r.hop, r.src, r.dst) for r in ego_sample(edges, seeds, [2, 1]).collect()}
+    assert again == {(r.seed, r.hop, r.src, r.dst) for r in out}
+
+
+def test_ego_sample_rejects_bad_fanouts(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "seed string")
+    with pytest.raises(ValueError):
+        ego_sample(edges, seeds, [])
+    with pytest.raises(ValueError):
+        ego_sample(edges, seeds, [2, 0])
 
 
 def test_snapshot_diff_classifies(spark):
