@@ -216,3 +216,42 @@ def fuse_triples(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def pool_evidence(
+    mentions: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    score: str = "score",
+    cap: float = 0.999999,
+) -> DataFrame:
+    """Noisy-OR evidence pooling: mention-level extraction scores →
+    one KG-level triple confidence.
+
+    Each supporting mention asserts the triple with independent
+    probability ``score``; the pooled confidence is
+    ``1 - prod(1 - score_i)`` (the noisy-OR of Knowledge-Vault-style
+    fusion — many weak mentions accumulate toward certainty, one
+    strong mention suffices). Scores are clamped to ``[0, cap]`` so a
+    single 1.0 mention cannot zero the product and erase the
+    remaining evidence count's contribution to downstream tie-breaks.
+
+    Output: (subj, pred, obj, n_mentions, max_score, pooled), pooled
+    rounded to 6 places. One groupBy on the triple key with PRODUCT
+    partial aggregation — map-side combinable, no window, no
+    per-group collection; this is the aggregation that turns 10^12
+    mention rows into the (much smaller) KG edge table.
+    """
+    s = F.least(F.greatest(F.col(score), F.lit(0.0)), F.lit(cap))
+    return (
+        mentions.select(subj, pred, obj, s.alias("_s"))
+        .groupBy(subj, pred, obj)
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.round(F.max("_s"), 6).alias("max_score"),
+            F.round(F.lit(1.0) - F.product(F.lit(1.0) - F.col("_s")), 6).alias(
+                "pooled"
+            ),
+        )
+    )

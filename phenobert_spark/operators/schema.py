@@ -209,3 +209,106 @@ def detect_inverse_predicates(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return out.select("pred_a", "pred_b", "n_shared", "n_a", "n_b", "jaccard")
+
+
+def schema_graph(
+    triples: DataFrame,
+    node_types: DataFrame,
+    default_type: str = "unknown",
+) -> DataFrame:
+    """Quotient graph: collapse the instance KG to its type schema.
+
+    ``node_types`` is a (node, type) dim table; every triple maps to
+    the edge (type(subj), pred, type(obj)) and the quotient counts how
+    many instance triples each schema edge summarizes. Nodes absent
+    from ``node_types`` collapse to ``default_type``. Returns
+    (subj_type, pred, obj_type, n_triples, n_subj, n_obj).
+
+    Scale shape: two joins against the type dim (vocabulary-sized →
+    broadcast) and one groupBy on the (tiny) schema-edge key with
+    approx-free distinct counts computed from partial (key, node)
+    pairs. The output IS the dataset card: which entity types connect
+    through which predicates, and how much data sits on each edge.
+    """
+    st = node_types.select(
+        F.col(node_types.columns[0]).alias("subj"),
+        F.col(node_types.columns[1]).alias("subj_type"),
+    )
+    ot = node_types.select(
+        F.col(node_types.columns[0]).alias("obj"),
+        F.col(node_types.columns[1]).alias("obj_type"),
+    )
+    typed = (
+        triples.join(F.broadcast(st), on="subj", how="left")
+        .join(F.broadcast(ot), on="obj", how="left")
+        .select(
+            F.coalesce("subj_type", F.lit(default_type)).alias("subj_type"),
+            "pred",
+            F.coalesce("obj_type", F.lit(default_type)).alias("obj_type"),
+            "subj",
+            "obj",
+        )
+    )
+    return typed.groupBy("subj_type", "pred", "obj_type").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+def induce_subsumptions(
+    doc_terms: DataFrame,
+    doc: str = "doc_id",
+    term: str = "term",
+    min_docs: int = 2,
+    p_threshold: float = 0.8,
+) -> DataFrame:
+    """Taxonomy induction by directional document co-occurrence
+    (Hearst-free subsumption: broad `hyper` appears in ~every doc its
+    narrower `hypo` appears in, but not conversely).
+
+    hyper subsumes hypo when P(hyper | hypo) = |docs(hypo) ∩
+    docs(hyper)| / |docs(hypo)| >= ``p_threshold`` AND
+    P(hypo | hyper) < ``p_threshold`` (the asymmetry excludes
+    synonyms/duplicates, which co-vary in both directions). Terms in
+    fewer than ``min_docs`` documents are dropped first — singleton
+    terms subsume trivially and are pure noise.
+
+    Returns (hypo, hyper, n_shared, n_hypo, n_hyper, p_fwd, p_rev),
+    probabilities rounded to 6. Candidate pairs materialize only
+    through a shared document (inverted-index self-join on doc), never
+    the term cross product; the known hot spot is a mega-document
+    containing every term — bound document vocabulary upstream (the
+    quality-filter stage already caps doc length).
+    """
+    dt = doc_terms.select(F.col(doc).alias("d"), F.col(term).alias("t")).distinct()
+    freq = dt.groupBy("t").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= min_docs
+    )
+    dt = dt.join(freq.select("t"), on="t")
+    a = dt.select("d", F.col("t").alias("hypo"))
+    b = dt.select("d", F.col("t").alias("hyper"))
+    shared = (
+        a.join(b, on="d")
+        .filter(F.col("hypo") != F.col("hyper"))
+        .groupBy("hypo", "hyper")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            freq.select(F.col("t").alias("hypo"), F.col("n").alias("n_hypo")),
+            on="hypo",
+        )
+        .join(
+            freq.select(F.col("t").alias("hyper"), F.col("n").alias("n_hyper")),
+            on="hyper",
+        )
+        .withColumn("p_fwd", F.round(F.col("n_shared") / F.col("n_hypo"), 6))
+        .withColumn("p_rev", F.round(F.col("n_shared") / F.col("n_hyper"), 6))
+        .filter(
+            (F.col("p_fwd") >= p_threshold) & (F.col("p_rev") < p_threshold)
+        )
+    )
+    return out.select(
+        "hypo", "hyper", "n_shared", "n_hypo", "n_hyper", "p_fwd", "p_rev"
+    )

@@ -5381,6 +5381,194 @@ def q160(spark, sf_dir):
     ).orderBy("e", "n", "r", "band")
 
 
+@register(
+    "q161_pool_evidence",
+    """
+    WITH m AS (
+      SELECT 'S' || l_suppkey AS subj, 'supplies' AS pred,
+             'P' || l_partkey AS obj,
+             LEAST(GREATEST(l_discount, 0.0), 0.999999) AS s
+      FROM lineitem
+    )
+    SELECT subj, pred, obj,
+           COUNT(*) AS n_mentions,
+           ROUND(MAX(s), 6) AS max_score,
+           ROUND(1.0 - PRODUCT(1.0 - s), 6) AS pooled
+    FROM m GROUP BY subj, pred, obj
+    ORDER BY subj, pred, obj
+    """,
+)
+def q161(spark, sf_dir):
+    """Noisy-OR evidence pooling (operators/entity_resolution.
+    pool_evidence): mention-level extraction scores (here each
+    lineitem's discount standing in for an extractor confidence)
+    pooled to one KG-level confidence per (supplier, supplies, part)
+    triple via 1 - prod(1 - s). One PRODUCT-aggregated groupBy on the
+    triple key — map-side combinable; the aggregation that turns 10^12
+    mention rows into the KG edge table."""
+    from ..operators.entity_resolution import pool_evidence
+
+    li = _t(spark, sf_dir, "lineitem")
+    mentions = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
+        F.col("l_discount").alias("score"),
+    )
+    return pool_evidence(mentions).orderBy("subj", "pred", "obj")
+
+
+@register(
+    "q162_schema_graph",
+    """
+    WITH tr AS (
+      SELECT 'S' || s_suppkey AS subj, 'located_in' AS pred,
+             'N' || s_nationkey AS obj FROM supplier
+      UNION ALL
+      SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'part_of', 'R' || n_regionkey FROM nation
+      UNION ALL
+      SELECT 'C' || o_custkey, 'placed', 'O' || o_orderkey FROM orders
+    ), ty AS (
+      SELECT 'S' || s_suppkey AS node, 'supplier' AS type FROM supplier
+      UNION ALL
+      SELECT 'C' || c_custkey, 'customer' FROM customer
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'nation' FROM nation
+      UNION ALL
+      SELECT 'R' || r_regionkey, 'region' FROM region
+    )
+    SELECT COALESCE(st.type, 'unknown') AS subj_type, tr.pred AS pred,
+           COALESCE(ot.type, 'unknown') AS obj_type,
+           COUNT(*) AS n_triples,
+           COUNT(DISTINCT tr.subj) AS n_subj,
+           COUNT(DISTINCT tr.obj) AS n_obj
+    FROM tr
+    LEFT JOIN ty st ON tr.subj = st.node
+    LEFT JOIN ty ot ON tr.obj = ot.node
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q162(spark, sf_dir):
+    """Schema-graph extraction (operators/schema.schema_graph): the
+    instance KG collapsed to its type quotient — (subj_type, pred,
+    obj_type) edges with instance/entity counts; order nodes are
+    deliberately untyped to exercise the 'unknown' default. Two
+    broadcast joins against the vocabulary-sized type dim + one
+    groupBy on the tiny schema-edge key; the output is the dataset
+    card for the materialized KG."""
+    from ..operators.schema import schema_graph
+
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    triples = (
+        supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+                F.lit("located_in").alias("pred"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+                F.lit("part_of").alias("pred"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("subj"),
+                F.lit("placed").alias("pred"),
+                F.concat(F.lit("O"), F.col("o_orderkey")).alias("obj"),
+            )
+        )
+    )
+    types = (
+        supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("node"),
+            F.lit("supplier").alias("type"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("node"),
+                F.lit("customer").alias("type"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("node"),
+                F.lit("nation").alias("type"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("R"), F.col("r_regionkey")).alias("node"),
+                F.lit("region").alias("type"),
+            )
+        )
+    )
+    return schema_graph(triples, types).orderBy("subj_type", "pred", "obj_type")
+
+
+@register(
+    "q163_subsumptions",
+    r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id AS d,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ), freq AS (
+      SELECT t, COUNT(*) AS n FROM dt GROUP BY t HAVING COUNT(*) >= 25
+    ), dtf AS (
+      SELECT dt.d, dt.t FROM dt JOIN freq ON dt.t = freq.t
+    ), shared AS (
+      SELECT a.t AS hypo, b.t AS hyper, COUNT(*) AS n_shared
+      FROM dtf a JOIN dtf b ON a.d = b.d AND a.t <> b.t
+      GROUP BY 1, 2
+    )
+    SELECT hypo, hyper, n_shared, fa.n AS n_hypo, fb.n AS n_hyper,
+           ROUND(CAST(n_shared AS DOUBLE) / fa.n, 6) AS p_fwd,
+           ROUND(CAST(n_shared AS DOUBLE) / fb.n, 6) AS p_rev
+    FROM shared
+    JOIN freq fa ON hypo = fa.t
+    JOIN freq fb ON hyper = fb.t
+    WHERE ROUND(CAST(n_shared AS DOUBLE) / fa.n, 6) >= 0.8
+      AND ROUND(CAST(n_shared AS DOUBLE) / fb.n, 6) < 0.8
+    ORDER BY hypo, hyper
+    """,
+)
+def q163(spark, sf_dir):
+    """Taxonomy induction by directional co-occurrence
+    (operators/schema.induce_subsumptions): term A subsumes term B
+    when A appears in >= 80% of B's documents but not conversely —
+    the asymmetry excludes synonyms. min_docs=25 prunes the vocabulary
+    BEFORE the inverted-index self-join on doc_id, so pairs
+    materialize only through shared documents among frequent terms.
+    Whitespace tokenization shares q100's cross-engine parity."""
+    from ..operators.schema import induce_subsumptions
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    return induce_subsumptions(
+        dt, doc="doc_id", term="term", min_docs=25, p_threshold=0.8
+    ).orderBy("hypo", "hyper")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -5422,6 +5610,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "q158_kg_time_travel",
     "q159_ego_sample",
     "q160_bgp_optional",
+    "q161_pool_evidence",
+    "q162_schema_graph",
+    "q163_subsumptions",
     # fresh value-oracles (were rows-only through r4):
     "q90_hpo_pipeline_fixture",
     "q91_multimodal_features",

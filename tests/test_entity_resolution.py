@@ -147,3 +147,35 @@ def test_fuse_triples_source_count_breaks_support_tie(spark):
     )
     row = fuse_triples(tr).collect()[0]
     assert (row.obj, row.support, row.n_src) == ("SA", 6, 2)
+
+
+def test_pool_evidence_noisy_or(spark):
+    from phenobert_spark.operators.entity_resolution import pool_evidence
+
+    m = spark.createDataFrame(
+        [
+            ("a", "p", "x", 0.5),
+            ("a", "p", "x", 0.5),
+            ("a", "p", "x", 0.2),
+            ("b", "p", "y", 0.9),
+        ],
+        "subj string, pred string, obj string, score double",
+    )
+    out = {r.subj: r for r in pool_evidence(m).collect()}
+    # 1 - 0.5*0.5*0.8 = 0.8
+    assert out["a"].pooled == pytest.approx(0.8, abs=1e-6)
+    assert out["a"].n_mentions == 3 and out["a"].max_score == 0.5
+    assert out["b"].pooled == pytest.approx(0.9, abs=1e-6)
+
+
+def test_pool_evidence_clamps_certainty(spark):
+    from phenobert_spark.operators.entity_resolution import pool_evidence
+
+    m = spark.createDataFrame(
+        [("a", "p", "x", 1.0), ("a", "p", "x", -0.3)],
+        "subj string, pred string, obj string, score double",
+    )
+    row = pool_evidence(m).collect()[0]
+    # 1.0 clamps to cap (< 1), negative clamps to 0; pooled < 1
+    assert 0.999 < row.pooled < 1.0
+    assert row.n_mentions == 2

@@ -7,7 +7,9 @@ import pytest
 from phenobert_spark.operators.schema import (
     Shape,
     detect_inverse_predicates,
+    induce_subsumptions,
     infer_predicate_schema,
+    schema_graph,
     validate_shapes,
 )
 
@@ -109,3 +111,54 @@ def test_inverse_excludes_self_pairs(spark):
     # symmetric predicate: every pair flips onto the SAME predicate
     t = spark.createDataFrame([("a", "sym", "b"), ("b", "sym", "a")], SCHEMA)
     assert detect_inverse_predicates(t, 0.0).count() == 0
+
+
+def test_schema_graph_quotient(spark):
+    t = spark.createDataFrame(
+        [("s1", "in", "n1"), ("s2", "in", "n1"), ("s1", "sells", "p1"),
+         ("zz", "in", "n1")],
+        SCHEMA,
+    )
+    types = spark.createDataFrame(
+        [("s1", "supplier"), ("s2", "supplier"), ("n1", "nation"), ("p1", "part")],
+        "node string, type string",
+    )
+    out = {
+        (r.subj_type, r.pred, r.obj_type): (r.n_triples, r.n_subj, r.n_obj)
+        for r in schema_graph(t, types).collect()
+    }
+    assert out == {
+        ("supplier", "in", "nation"): (2, 2, 1),
+        ("supplier", "sells", "part"): (1, 1, 1),
+        ("unknown", "in", "nation"): (1, 1, 1),
+    }
+
+
+def test_induce_subsumptions_directional(spark):
+    # 'animal' appears in all 4 docs; 'cat' in 2 of them; 'rock' in 2
+    # docs disjoint from cat. animal subsumes cat (P(animal|cat)=1,
+    # P(cat|animal)=0.5); cat/rock never co-occur; animal/rock same
+    # shape as cat.
+    rows = [
+        ("d1", "animal"), ("d1", "cat"),
+        ("d2", "animal"), ("d2", "cat"),
+        ("d3", "animal"), ("d3", "rock"),
+        ("d4", "animal"), ("d4", "rock"),
+    ]
+    dt = spark.createDataFrame(rows, "doc_id string, term string")
+    out = {
+        (r.hypo, r.hyper): (r.n_shared, r.p_fwd, r.p_rev)
+        for r in induce_subsumptions(dt, min_docs=2, p_threshold=0.8).collect()
+    }
+    assert out == {
+        ("cat", "animal"): (2, 1.0, 0.5),
+        ("rock", "animal"): (2, 1.0, 0.5),
+    }
+
+
+def test_induce_subsumptions_min_docs_prunes(spark):
+    dt = spark.createDataFrame(
+        [("d1", "a"), ("d1", "b"), ("d2", "a")], "doc_id string, term string"
+    )
+    # b appears in 1 doc < min_docs=2 -> pruned before pairing
+    assert induce_subsumptions(dt, min_docs=2, p_threshold=0.5).count() == 0
