@@ -280,7 +280,7 @@ def ego_sample(
 
 def kg_time_travel(
     changelog: DataFrame,
-    at_ts,
+    at_ts=None,
     ts_col: str = "ts",
     op_col: str = "op",
 ) -> DataFrame:
@@ -288,28 +288,42 @@ def kg_time_travel(
 
     ``changelog`` rows are (subj, pred, obj, ts, op) with op in
     {'add', 'remove'}; a triple is live at T iff its latest event with
-    ts <= T is an 'add'. Same-timestamp add+remove resolves to remove
+    ts <= T is an 'add'. ``at_ts=None`` folds the WHOLE log (the
+    current snapshot — what ``streaming.kg_upsert_stream`` applies per
+    micro-batch). Same-timestamp add+remove resolves to remove
     (the conservative order). One filtered scan + one max_by groupBy
     on the triple key — map-side partial, no window sort; with the log
     bucketed by (subj, pred, obj) the shuffle disappears. This is the
     replay twin of ``kg_snapshot_diff``: diff derives the log from two
     snapshots, time-travel derives any snapshot from the log.
     """
+    log = changelog if at_ts is None else changelog.filter(F.col(ts_col) <= at_ts)
+    return kg_fold_log(log, ts_col=ts_col, op_col=op_col).filter(
+        F.col("last_op") == "add"
+    ).select("subj", "pred", "obj", "as_of_ts")
+
+
+def kg_fold_log(
+    changelog: DataFrame,
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold an add/remove log to per-triple last-event state,
+    KEEPING remove tombstones: (subj, pred, obj, as_of_ts, last_op).
+
+    This is the state ``streaming.kg_upsert_stream`` persists between
+    micro-batches — dropping tombstones (keeping only live triples)
+    would let a LATE add resurrect a triple removed at a later
+    timestamp. ``kg_time_travel`` is this fold + a liveness filter.
+    """
     # rank 'remove' above 'add' so the max_by tiebreak at equal ts is
     # deterministic and conservative
     op_rank = F.when(F.col(op_col) == "remove", F.lit(1)).otherwise(F.lit(0))
-    last = (
-        changelog.filter(F.col(ts_col) <= at_ts)
-        .groupBy("subj", "pred", "obj")
-        .agg(
-            F.max_by(
-                F.col(op_col), F.struct(F.col(ts_col), op_rank.alias("_r"))
-            ).alias("_last_op"),
-            F.max(F.col(ts_col)).alias("as_of_ts"),
-        )
-    )
-    return last.filter(F.col("_last_op") == "add").select(
-        "subj", "pred", "obj", "as_of_ts"
+    return changelog.groupBy("subj", "pred", "obj").agg(
+        F.max_by(
+            F.col(op_col), F.struct(F.col(ts_col), op_rank.alias("_r"))
+        ).alias("last_op"),
+        F.max(F.col(ts_col)).alias("as_of_ts"),
     )
 
 

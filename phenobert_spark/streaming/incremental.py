@@ -372,3 +372,98 @@ def windowed_countmin_rollup(
             "c",
         )
     )
+
+
+def kg_upsert_stream(
+    changelog: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain a materialized KG snapshot from a streaming add/remove
+    changelog — the streaming form of batch ``kg_query.kg_time_travel``
+    (q158) and the operational half of ``kg_query.kg_snapshot_diff``
+    (q152).
+
+    Each micro-batch folds its (subj, pred, obj, ts, op) events into
+    the previous snapshot version with last-event-wins (remove beats
+    add on timestamp ties) and writes the result to
+    ``{snapshot_dir}/v={batch_id}`` — snapshot chaining, the file-
+    parquet stand-in for an Iceberg MERGE INTO. Exactly-once: a batch
+    replayed after a crash recomputes its version from the UNCHANGED
+    previous version and overwrites its own directory, so the
+    (batch_id = version) key is the idempotency token, exactly like
+    ``annotate_stream``'s partition-overwrite sink.
+
+    The persisted state is ``kg_fold_log``'s full last-event table —
+    INCLUDING remove tombstones. Keeping only live triples would lose
+    the removal timestamp, and a late-arriving add (older than the
+    remove) in a later batch would resurrect the dead triple; with the
+    tombstone the merge is by max (ts, op-rank) regardless of arrival
+    order, so the folded stream is event-identical to a batch replay
+    of the whole log (pinned in tests/test_streaming.py).
+
+    Per batch the work is one union (previous state re-expressed as
+    events at their as_of_ts) + one max_by groupBy on the triple key
+    — with both sides bucketed by (subj, pred, obj) on a cluster the
+    shuffle disappears.
+    """
+    import os
+
+    from ..operators.kg_query import kg_fold_log
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_versions = []
+        if os.path.isdir(snapshot_dir):
+            for name in os.listdir(snapshot_dir):
+                if name.startswith("v="):
+                    v = int(name.split("=", 1)[1])
+                    if v < batch_id:
+                        prev_versions.append(v)
+        events = batch_df.select("subj", "pred", "obj", "ts", "op")
+        if prev_versions:
+            prev = spark.read.parquet(
+                f"{snapshot_dir}/v={max(prev_versions)}"
+            ).select(
+                "subj",
+                "pred",
+                "obj",
+                F.col("as_of_ts").alias("ts"),
+                F.col("last_op").alias("op"),
+            )
+            events = prev.unionByName(events)
+        state = kg_fold_log(events)
+        state.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
+
+    return (
+        changelog.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_kg_snapshot(
+    spark: SparkSession, snapshot_dir: str, include_tombstones: bool = False
+) -> DataFrame:
+    """Read the newest snapshot version written by ``kg_upsert_stream``.
+
+    By default returns the LIVE triples (subj, pred, obj, as_of_ts);
+    ``include_tombstones=True`` returns the raw last-event state with
+    ``last_op`` (what the next micro-batch folds against).
+    """
+    import os
+
+    versions = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(snapshot_dir)
+        if n.startswith("v=")
+    ]
+    if not versions:
+        raise ValueError(f"no snapshot versions under {snapshot_dir}")
+    state = spark.read.parquet(f"{snapshot_dir}/v={max(versions)}")
+    if include_tombstones:
+        return state
+    return state.filter(F.col("last_op") == "add").select(
+        "subj", "pred", "obj", "as_of_ts"
+    )

@@ -457,3 +457,59 @@ def test_windowed_countmin_stream_matches_batch_cells(spark, tmp_path):
         want |= {(h, r.row, r.bucket, r.c) for r in cells}
     assert got <= want  # append emits only watermark-finalized windows
     assert len(got) > 0
+
+
+def test_kg_upsert_stream_matches_batch_replay(spark, tmp_path):
+    """Two changelog micro-batches folded by kg_upsert_stream produce
+    the same live-triple set as batch kg_time_travel over the full log
+    — including a batch-2 remove of a batch-1 triple and a LATE batch-2
+    add that is older than an existing remove (must stay dead)."""
+    from phenobert_spark.operators.kg_query import kg_time_travel
+    from phenobert_spark.streaming.incremental import (
+        kg_upsert_stream,
+        latest_kg_snapshot,
+        run_stream_to_completion,
+    )
+
+    schema = "subj string, pred string, obj string, ts int, op string"
+    wave1 = [
+        ("a", "p", "x", 1, "add"),
+        ("b", "p", "y", 2, "add"),
+        ("c", "p", "z", 3, "add"),
+        ("c", "p", "z", 4, "remove"),
+    ]
+    wave2 = [
+        ("b", "p", "y", 5, "remove"),   # removes a batch-1 triple
+        ("d", "p", "w", 6, "add"),
+        ("c", "p", "z", 2, "add"),      # late: older than the ts=4 remove
+    ]
+    in_dir = str(tmp_path / "log")
+    snap_dir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    run_stream_to_completion(kg_upsert_stream(stream, snap_dir, ckpt))
+    first = {r.subj for r in latest_kg_snapshot(spark, snap_dir).collect()}
+    assert first == {"a", "b"}
+
+    # second wave lands; restart from the checkpoint (new batch id)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    run_stream_to_completion(kg_upsert_stream(stream, snap_dir, ckpt))
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in latest_kg_snapshot(spark, snap_dir).collect()
+    }
+    full_log = spark.createDataFrame(wave1 + wave2, schema)
+    want = {
+        (r.subj, r.pred, r.obj) for r in kg_time_travel(full_log).collect()
+    }
+    assert got == want == {("a", "p", "x"), ("d", "p", "w")}
