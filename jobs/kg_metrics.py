@@ -177,6 +177,59 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         salt="kg-neg",
     ).write.mode("overwrite").parquet(f"{args.output}/training_negatives")
 
+    # KG quality gate (q155/q161/q162 operators): pooled per-triple
+    # confidence, SHACL-style violation report, and the type-quotient
+    # dataset card. Mention-level rows (one per detected span) pool to
+    # one confidence per (doc, concept) via noisy-OR; the shape pass
+    # flags dangling concepts (objects the ontology does not know) and
+    # malformed ids; the schema card summarizes what was built.
+    from phenobert_spark.operators.entity_resolution import pool_evidence
+    from phenobert_spark.operators.schema import (
+        Shape,
+        schema_graph,
+        validate_shapes,
+    )
+
+    mention_triples = triples.select(
+        F.col("doc_id").alias("subj"),
+        F.lit("has_phenotype").alias("pred"),
+        F.col("concept" if "concept" in triples.columns else "hpo_id").alias(
+            "obj"
+        ),
+        *( [F.col("score").alias("score")]
+           if "score" in triples.columns
+           else [F.lit(0.9).alias("score")] ),
+    )
+    pool_evidence(mention_triples).write.mode("overwrite").parquet(
+        f"{args.output}/fused_confidence"
+    )
+
+    concept_nodes = spark.createDataFrame(
+        [(c,) for c in onto.ancestors().keys()], "obj string"
+    )
+    validate_shapes(
+        mention_triples.select("subj", "pred", "obj"),
+        [
+            Shape(
+                pred="has_phenotype",
+                obj_class=concept_nodes,
+                obj_pattern="HP:[0-9]+",
+            )
+        ],
+    ).write.mode("overwrite").parquet(f"{args.output}/shape_violations")
+
+    concept_types = concept_nodes.select(
+        F.col("obj").alias("node"), F.lit("phenotype").alias("type")
+    )
+    # card over the KG edge set (distinct triples), not mention rows —
+    # the card describes what was BUILT; mention volume lives in
+    # fused_confidence.n_mentions
+    schema_graph(
+        mention_triples.select("subj", "pred", "obj").distinct(),
+        concept_types,
+        default_type="document",
+    ).write.mode("overwrite").parquet(f"{args.output}/schema_card")
+
     if owns_session:
         spark.stop()
 

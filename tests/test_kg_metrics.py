@@ -363,6 +363,25 @@ def test_kg_metrics_job_end_to_end(spark, tmp_path):
     concepts = {r.hpo_id for r in triples.select("hpo_id").distinct().collect()}
     assert {r.neg_tail for r in negs.collect()} <= concepts
 
+    # round-5 quality artifacts: fused confidence, shape report, schema card
+    fused = spark.read.parquet(f"{out}/fused_confidence")
+    assert (
+        fused.count()
+        == triples.select("doc_id", "hpo_id").distinct().count()
+    )
+    # dictionary-tier mentions score exactly 1.0 -> the clamped
+    # noisy-OR rounds to 1.0 at 6 places; it must never exceed 1 or
+    # hit 0
+    assert fused.filter((F.col("pooled") <= 0) | (F.col("pooled") > 1)).count() == 0
+    # pipeline output links only ontology-known, well-formed ids
+    assert spark.read.parquet(f"{out}/shape_violations").count() == 0
+    card = spark.read.parquet(f"{out}/schema_card").collect()
+    assert len(card) == 1
+    assert (card[0].subj_type, card[0].pred, card[0].obj_type) == (
+        "document", "has_phenotype", "phenotype",
+    )
+    assert card[0].n_triples == fused.count()
+
 
 # ---------------------------------------------------------------------------
 # round-5 graph additions: HITS, k-core, link prediction, co-occurrence
