@@ -312,3 +312,119 @@ def induce_subsumptions(
     return out.select(
         "hypo", "hyper", "n_shared", "n_hypo", "n_hyper", "p_fwd", "p_rev"
     )
+
+
+def mine_path_rules(
+    triples: DataFrame,
+    min_support: int = 1,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """AMIE-style 2-hop horn-rule mining:
+    p(x, y) ∧ q(y, z) ⇒ t(x, z).
+
+    For every predicate pair (p, q) the rule BODY is the set of
+    distinct (x, z) pairs connected by a p∘q path; for every target
+    predicate t, ``support`` counts body pairs that are also t-triples
+    and ``confidence = support / n_body`` (CWA confidence — the
+    standard PCA variant needs negative evidence this sandbox's
+    fixtures can't ground). Rules with t == p or t == q are excluded
+    (trivially self-supporting via cycles).
+
+    Returns (body_p, body_q, head_t, n_body, support, confidence),
+    confidence rounded to 6.
+
+    Scale shape: one self-join on the path junction y (shuffle on the
+    node key, the same exchange every 2-hop query pays), one distinct
+    to body pairs, then a broadcast-friendly join against the triple
+    table keyed (x, z) — rule heads materialize only through actual
+    co-occurring pairs, never the predicate³ cross product. Hub
+    junctions fan out p-deg × q-deg; cap them upstream with the
+    ``neighborhood_jaccard`` hub guard when mining over hub-heavy
+    graphs.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    left = t.select(
+        F.col("pred").alias("body_p"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+    )
+    right = t.select(
+        F.col("pred").alias("body_q"),
+        F.col("subj").alias("y"),
+        F.col("obj").alias("z"),
+    )
+    body = (
+        left.join(right, on="y")
+        .select("body_p", "body_q", "x", "z")
+        .distinct()
+    )
+    body_sizes = body.groupBy("body_p", "body_q").agg(
+        F.count("*").alias("n_body")
+    )
+    heads = t.select(
+        F.col("pred").alias("head_t"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("z"),
+    )
+    supp = (
+        body.join(heads, on=["x", "z"])
+        .filter(
+            (F.col("head_t") != F.col("body_p"))
+            & (F.col("head_t") != F.col("body_q"))
+        )
+        .groupBy("body_p", "body_q", "head_t")
+        .agg(F.count("*").alias("support"))
+    )
+    out = (
+        supp.join(body_sizes, on=["body_p", "body_q"])
+        .withColumn(
+            "confidence", F.round(F.col("support") / F.col("n_body"), 6)
+        )
+        .filter(
+            (F.col("support") >= min_support)
+            & (F.col("confidence") >= min_confidence)
+        )
+    )
+    return out.select(
+        "body_p", "body_q", "head_t", "n_body", "support", "confidence"
+    )
+
+
+def apply_path_rule(
+    triples: DataFrame,
+    body_p: str,
+    body_q: str,
+    head_t: str,
+) -> DataFrame:
+    """KG completion by rule application: emit the t(x, z) triples the
+    rule p(x, y) ∧ q(y, z) ⇒ t(x, z) INFERS — path pairs not already
+    asserted. Returns (subj, pred, obj, n_paths) with pred = head_t
+    and n_paths the number of distinct junction witnesses (an evidence
+    count ``pool_evidence`` can weight downstream).
+
+    One junction self-join (both sides pre-filtered to single
+    predicates — pushed-down scans) + one left-anti join against the
+    asserted t-triples.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    left = t.filter(F.col("pred") == body_p).select(
+        F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+    right = t.filter(F.col("pred") == body_q).select(
+        F.col("subj").alias("y"), F.col("obj").alias("z")
+    )
+    paths = left.join(right, on="y").groupBy("x", "z").agg(
+        F.countDistinct("y").alias("n_paths")
+    )
+    asserted = t.filter(F.col("pred") == head_t).select(
+        F.col("subj").alias("x"), F.col("obj").alias("z")
+    )
+    return (
+        paths.join(asserted, on=["x", "z"], how="left_anti")
+        .select(
+            F.col("x").alias("subj"),
+            F.lit(head_t).alias("pred"),
+            F.col("z").alias("obj"),
+            "n_paths",
+        )
+    )

@@ -5569,6 +5569,160 @@ def q163(spark, sf_dir):
     ).orderBy("hypo", "hyper")
 
 
+def _rule_triples(spark, sf_dir, assert_mod: int | None = None):
+    """Shared fixture for q164/q165: located_in (S→N, C→N), part_of
+    (N→R), placed (C→O noise), and ground-truth in_region (C→R) —
+    asserted for all customers (q164) or only custkey % 3 == 0 (q165,
+    leaving the rest for the rule to infer)."""
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    in_region_src = cust if assert_mod is None else cust.filter(
+        F.col("c_custkey") % assert_mod == 0
+    )
+    return (
+        supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+                F.lit("located_in").alias("pred"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("subj"),
+                F.lit("part_of").alias("pred"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            in_region_src.join(
+                nation, in_region_src.c_nationkey == nation.n_nationkey
+            ).select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("subj"),
+                F.lit("in_region").alias("pred"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("subj"),
+                F.lit("placed").alias("pred"),
+                F.concat(F.lit("O"), F.col("o_orderkey")).alias("obj"),
+            )
+        )
+    )
+
+
+_RULE_TRIPLES_SQL = """
+      SELECT DISTINCT 'S' || s_suppkey AS subj, 'located_in' AS pred,
+             'N' || s_nationkey AS obj FROM supplier
+      UNION ALL
+      SELECT DISTINCT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'part_of', 'R' || n_regionkey FROM nation
+      UNION ALL
+      SELECT 'C' || c_custkey, 'in_region', 'R' || n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey {mod_filter}
+      UNION ALL
+      SELECT 'C' || o_custkey, 'placed', 'O' || o_orderkey FROM orders
+"""
+
+
+@register(
+    "q164_rule_mining",
+    """
+    WITH tr AS (
+    """
+    + _RULE_TRIPLES_SQL.format(mod_filter="")
+    + """
+    ), t AS (
+      SELECT DISTINCT subj, pred, obj FROM tr
+    ), body AS (
+      SELECT DISTINCT a.pred AS body_p, b.pred AS body_q,
+             a.subj AS x, b.obj AS z
+      FROM t a JOIN t b ON a.obj = b.subj
+    ), bs AS (
+      SELECT body_p, body_q, COUNT(*) AS n_body FROM body GROUP BY 1, 2
+    ), supp AS (
+      SELECT body.body_p, body.body_q, h.pred AS head_t,
+             COUNT(*) AS support
+      FROM body JOIN t h ON body.x = h.subj AND body.z = h.obj
+      WHERE h.pred <> body.body_p AND h.pred <> body.body_q
+      GROUP BY 1, 2, 3
+    )
+    SELECT supp.body_p AS body_p, supp.body_q AS body_q, head_t,
+           n_body, support,
+           ROUND(CAST(support AS DOUBLE) / n_body, 6) AS confidence
+    FROM supp
+    JOIN bs ON supp.body_p = bs.body_p AND supp.body_q = bs.body_q
+    WHERE support >= 1
+    ORDER BY 1, 2, 3
+    """,
+)
+def q164(spark, sf_dir):
+    """AMIE-style horn-rule mining (operators/schema.mine_path_rules):
+    discover located_in(x,y) ∧ part_of(y,z) ⇒ in_region(x,z) from the
+    data — confidence = customers (who carry ground-truth in_region)
+    over all path pairs (suppliers dilute it; CWA confidence). Rule
+    heads materialize only through co-occurring (x,z) pairs, never the
+    predicate³ cross product; the junction self-join is the one
+    exchange every 2-hop query pays."""
+    from ..operators.schema import mine_path_rules
+
+    return mine_path_rules(
+        _rule_triples(spark, sf_dir), min_support=1
+    ).orderBy("body_p", "body_q", "head_t")
+
+
+@register(
+    "q165_rule_apply",
+    """
+    WITH tr AS (
+    """
+    + _RULE_TRIPLES_SQL.format(mod_filter="WHERE c_custkey % 3 = 0")
+    + """
+    ), t AS (
+      SELECT DISTINCT subj, pred, obj FROM tr
+    ), paths AS (
+      SELECT a.subj AS x, b.obj AS z, COUNT(DISTINCT a.obj) AS n_paths
+      FROM t a JOIN t b ON a.obj = b.subj
+      WHERE a.pred = 'located_in' AND b.pred = 'part_of'
+      GROUP BY 1, 2
+    )
+    SELECT p.x AS subj, 'in_region' AS pred, p.z AS obj, p.n_paths
+    FROM paths p
+    LEFT JOIN t ON t.pred = 'in_region' AND t.subj = p.x AND t.obj = p.z
+    WHERE t.subj IS NULL
+    ORDER BY subj, obj
+    """,
+)
+def q165(spark, sf_dir):
+    """KG completion by rule application (operators/schema.
+    apply_path_rule): materialize the in_region triples the q164 rule
+    INFERS — here ground truth is asserted only for custkey % 3 == 0,
+    so the rule completes the remaining customers and every supplier.
+    One junction join over two pushed-down single-predicate scans + a
+    left-anti join against the asserted head triples; n_paths counts
+    junction witnesses for downstream evidence pooling (q161)."""
+    from ..operators.schema import apply_path_rule
+
+    out = apply_path_rule(
+        _rule_triples(spark, sf_dir, assert_mod=3),
+        body_p="located_in",
+        body_q="part_of",
+        head_t="in_region",
+    )
+    return out.orderBy("subj", "obj")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -5613,6 +5767,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q161_pool_evidence",
     "q162_schema_graph",
     "q163_subsumptions",
+    "q164_rule_mining",
+    "q165_rule_apply",
     # fresh value-oracles (were rows-only through r4):
     "q90_hpo_pipeline_fixture",
     "q91_multimodal_features",

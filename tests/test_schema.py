@@ -162,3 +162,62 @@ def test_induce_subsumptions_min_docs_prunes(spark):
     )
     # b appears in 1 doc < min_docs=2 -> pruned before pairing
     assert induce_subsumptions(dt, min_docs=2, p_threshold=0.5).count() == 0
+
+
+def test_mine_path_rules_hand_computed(spark):
+    # located_in: a->n1, b->n1, s->n2; part_of: n1->r1, n2->r2;
+    # in_region asserted for a and b only -> rule confidence 2/3
+    t = spark.createDataFrame(
+        [
+            ("a", "located_in", "n1"),
+            ("b", "located_in", "n1"),
+            ("s", "located_in", "n2"),
+            ("n1", "part_of", "r1"),
+            ("n2", "part_of", "r2"),
+            ("a", "in_region", "r1"),
+            ("b", "in_region", "r1"),
+        ],
+        SCHEMA,
+    )
+    from phenobert_spark.operators.schema import mine_path_rules
+
+    rules = mine_path_rules(t).collect()
+    assert len(rules) == 1
+    r = rules[0]
+    assert (r.body_p, r.body_q, r.head_t) == ("located_in", "part_of", "in_region")
+    assert (r.n_body, r.support) == (3, 2)
+    assert r.confidence == pytest.approx(2 / 3, abs=1e-6)
+    # thresholds prune
+    assert (
+        mine_path_rules(t, min_confidence=0.7).count() == 0
+    )
+
+
+def test_mine_path_rules_excludes_self_heads(spark):
+    # cycle: p(a,b), p(b,a) -> body (p,p) pair (a,a)... head p(a,a)
+    # absent; but p(a,b)∧p(b,a) with head p would be self-supporting —
+    # excluded by construction even when present
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("a", "p", "a")], SCHEMA
+    )
+    from phenobert_spark.operators.schema import mine_path_rules
+
+    assert mine_path_rules(t).count() == 0
+
+
+def test_apply_path_rule_infers_missing_only(spark):
+    t = spark.createDataFrame(
+        [
+            ("a", "located_in", "n1"),
+            ("b", "located_in", "n1"),
+            ("n1", "part_of", "r1"),
+            ("a", "in_region", "r1"),  # already asserted
+        ],
+        SCHEMA,
+    )
+    from phenobert_spark.operators.schema import apply_path_rule
+
+    out = apply_path_rule(t, "located_in", "part_of", "in_region").collect()
+    assert [(r.subj, r.pred, r.obj, r.n_paths) for r in out] == [
+        ("b", "in_region", "r1", 1)
+    ]
