@@ -1,5 +1,6 @@
 """KG schema operators: SHACL-style shape validation, predicate schema
-induction, and inverse-predicate detection.
+induction, inverse-predicate detection, schema-graph extraction,
+taxonomy induction, and AMIE-style rule mining / rule-based completion.
 
 The reference hard-codes its schema — every emitted annotation is a
 (doc, has_phenotype, HPO:ID) row and the ontology's structure is fixed
@@ -27,6 +28,12 @@ Scale shape (100 TB):
   materialize only through actually-shared pairs (the same
   inverted-index discipline as ``kg_query.neighborhood_jaccard``);
   the per-(p, q) overlap then rolls up map-side.
+* ``schema_graph`` is two broadcast joins against the vocabulary-sized
+  type dim plus one groupBy on the tiny schema-edge key.
+* ``induce_subsumptions`` and ``mine_path_rules`` share the
+  inverted-index shape: candidates materialize only through a shared
+  document / junction node, never a cross product; hub junctions are
+  the known fan-out and are capped upstream.
 """
 
 from __future__ import annotations
@@ -68,7 +75,6 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
     """
     if not shapes:
         raise ValueError("validate_shapes needs at least one Shape")
-    spark = triples.sparkSession
     parts: list[DataFrame] = []
     for sh in shapes:
         scoped = triples.filter(F.col("pred") == sh.pred)
