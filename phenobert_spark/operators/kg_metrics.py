@@ -828,3 +828,55 @@ def graph_summary(
         "max_degree",
         F.when(den != 0, num / den).alias("assortativity"),
     )
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "candidate",
+    score_col: str = "score",
+    label_col: str = "is_positive",
+    ks: tuple = (1, 3, 10),
+) -> DataFrame:
+    """Link-prediction / KG-embedding ranking evaluation: MRR and
+    Hits@k over per-query scored candidate lists.
+
+    ``scored`` holds one row per (query, candidate) with a model score
+    and a boolean positive label; per query the positive's rank is its
+    1-based position ordering by (score DESC, candidate ASC) — the
+    candidate tiebreak makes ranks a pure function of the input, so
+    re-runs and engines agree. Queries with no positive row are
+    dropped (standard filtered-eval convention); a query with several
+    positives contributes its best-ranked one.
+
+    Returns ONE row: (n_queries, mrr, hits_1, hits_3, ..., mean_rank),
+    floats rounded to 6.
+
+    Scale shape: one row_number window keyed by query (per-partition
+    size = that query's candidate count, the natural unit), then a
+    single global aggregate of per-query scalars. No per-query
+    collect; the candidate table is the only corpus-sized input.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc()
+    )
+    ranked = scored.withColumn("_rank", F.row_number().over(w))
+    best_pos = (
+        ranked.filter(F.col(label_col))
+        .groupBy(query_col)
+        .agg(F.min("_rank").alias("rank"))
+    )
+    aggs = [
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.avg((F.col("rank") <= k).cast("double")), 6
+            ).alias(f"hits_{k}")
+        )
+    aggs.append(F.round(F.avg("rank"), 6).alias("mean_rank"))
+    return best_pos.agg(*aggs)

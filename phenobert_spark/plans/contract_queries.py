@@ -5723,6 +5723,65 @@ def q165(spark, sf_dir):
     return out.orderBy("subj", "obj")
 
 
+@register(
+    "q166_ranking_metrics",
+    """
+    WITH cand AS (
+      SELECT 'N' || s_nationkey AS query_id,
+             'S' || s_suppkey AS candidate,
+             s_acctbal AS score,
+             s_suppkey = MIN(s_suppkey) OVER (PARTITION BY s_nationkey)
+               AS is_positive
+      FROM supplier
+    ), ranked AS (
+      SELECT query_id, is_positive,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, candidate ASC
+             ) AS r
+      FROM cand
+    ), best AS (
+      SELECT query_id, MIN(r) AS rank
+      FROM ranked WHERE is_positive GROUP BY query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+           ROUND(AVG(1.0 / rank), 6) AS mrr,
+           ROUND(AVG(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS hits_1,
+           ROUND(AVG(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6)
+             AS hits_3,
+           ROUND(AVG(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)
+             AS hits_10,
+           ROUND(AVG(CAST(rank AS DOUBLE)), 6) AS mean_rank
+    FROM best
+    """,
+)
+def q166(spark, sf_dir):
+    """Link-prediction ranking evaluation (operators/kg_metrics.
+    ranking_metrics): MRR / Hits@k / mean-rank where each nation is a
+    query, its suppliers are candidates scored by account balance, and
+    the positive is the nation's lowest-numbered supplier — a
+    deterministic non-trivial rank distribution. (score DESC,
+    candidate ASC) ordering makes ranks a pure function of the input;
+    one query-keyed window + one global aggregate, the evaluation half
+    of the q148 negative-sampling training exports."""
+    from ..operators.kg_metrics import ranking_metrics
+
+    from pyspark.sql import Window
+
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    scored = supp.select(
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("query_id"),
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("candidate"),
+        F.col("s_acctbal").alias("score"),
+        (F.col("s_suppkey") == F.min("s_suppkey").over(w)).alias(
+            "is_positive"
+        ),
+    )
+    return ranking_metrics(scored)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -5769,6 +5828,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q163_subsumptions",
     "q164_rule_mining",
     "q165_rule_apply",
+    "q166_ranking_metrics",
     # fresh value-oracles (were rows-only through r4):
     "q90_hpo_pipeline_fixture",
     "q91_multimodal_features",

@@ -521,3 +521,56 @@ def test_graph_summary_regular_graph_null_assortativity(spark):
     r = graph_summary(edges).collect()[0]
     assert (r.n_nodes, r.n_edges, r.max_degree) == (3, 3, 2)
     assert r.assortativity is None
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """q1: positive ranks 2 of 3; q2: positive ranks 1; q3 has no
+    positive -> dropped. MRR = (1/2 + 1)/2 = 0.75."""
+    from phenobert_spark.operators.kg_metrics import ranking_metrics
+
+    rows = [
+        ("q1", "a", 0.9, False),
+        ("q1", "b", 0.8, True),
+        ("q1", "c", 0.1, False),
+        ("q2", "x", 0.5, True),
+        ("q2", "y", 0.4, False),
+        ("q3", "z", 0.3, False),
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id string, candidate string, score double, is_positive boolean"
+    )
+    r = ranking_metrics(scored, ks=(1, 2)).collect()[0]
+    assert r.n_queries == 2
+    assert r.mrr == pytest.approx(0.75, abs=1e-6)
+    assert r.hits_1 == pytest.approx(0.5, abs=1e-6)
+    assert r.hits_2 == pytest.approx(1.0, abs=1e-6)
+    assert r.mean_rank == pytest.approx(1.5, abs=1e-6)
+
+
+def test_ranking_metrics_tie_breaks_on_candidate(spark):
+    """Equal scores rank by candidate ASC — deterministic across runs."""
+    from phenobert_spark.operators.kg_metrics import ranking_metrics
+
+    rows = [
+        ("q", "a", 1.0, False),
+        ("q", "b", 1.0, True),  # ties with a; 'a' < 'b' -> positive rank 2
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id string, candidate string, score double, is_positive boolean"
+    )
+    r = ranking_metrics(scored, ks=(1,)).collect()[0]
+    assert r.mean_rank == 2.0 and r.hits_1 == 0.0
+
+
+def test_ranking_metrics_multi_positive_takes_best(spark):
+    from phenobert_spark.operators.kg_metrics import ranking_metrics
+
+    rows = [
+        ("q", "a", 0.9, True),
+        ("q", "b", 0.5, True),
+        ("q", "c", 0.1, False),
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id string, candidate string, score double, is_positive boolean"
+    )
+    assert ranking_metrics(scored).collect()[0].mrr == 1.0
