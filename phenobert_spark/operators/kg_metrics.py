@@ -880,3 +880,42 @@ def ranking_metrics(
         )
     aggs.append(F.round(F.avg("rank"), 6).alias("mean_rank"))
     return best_pos.agg(*aggs)
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_positive",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for extraction confidences: bucket scores
+    into ``n_bins`` equal-width bins over [0, 1] and report observed
+    precision per bin — the calibration check for ``pool_evidence``'s
+    fused triple confidences (a calibrated extractor has
+    frac_positive ≈ mean_score per bin; systematic gaps feed a Platt /
+    isotonic correction downstream).
+
+    Returns (bin, bin_lo, n, mean_score, frac_positive) with floats
+    rounded to 6; scores outside [0, 1] clamp into the edge bins. One
+    map-side-combinable groupBy on the bin key — no window, no sort.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.least(
+        F.greatest(F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.round(F.min(F.col("bin") / F.lit(float(n_bins))), 6).alias("bin_lo"),
+            F.count("*").alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_y"), 6).alias("frac_positive"),
+        )
+    )

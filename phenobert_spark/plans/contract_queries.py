@@ -5782,6 +5782,45 @@ def q166(spark, sf_dir):
     return ranking_metrics(scored)
 
 
+@register(
+    "q167_calibration_bins",
+    """
+    WITH s AS (
+      SELECT l_discount * 10.0 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+    ), b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(score * 10) AS INT), 0), 9)
+               AS bin,
+             score, y
+      FROM s
+    )
+    SELECT bin, ROUND(MIN(bin / 10.0), 6) AS bin_lo,
+           COUNT(*) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(y), 6) AS frac_positive
+    FROM b GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q167(spark, sf_dir):
+    """Confidence calibration / reliability bins (operators/kg_metrics.
+    calibration_bins): discount-derived scores in 10 equal-width bins
+    vs the observed returned-item rate — the calibration check for
+    q161's fused confidences (calibrated ⇔ frac_positive tracks
+    mean_score per bin). One map-side-combinable groupBy on the bin
+    key; out-of-range scores clamp into the edge bins identically in
+    both engines."""
+    from ..operators.kg_metrics import calibration_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_discount") * 10.0).alias("score"),
+        (F.col("l_returnflag") == "R").alias("is_positive"),
+    )
+    return calibration_bins(scored, n_bins=10).orderBy("bin")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -5829,6 +5868,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q164_rule_mining",
     "q165_rule_apply",
     "q166_ranking_metrics",
+    "q167_calibration_bins",
     # fresh value-oracles (were rows-only through r4):
     "q90_hpo_pipeline_fixture",
     "q91_multimodal_features",

@@ -574,3 +574,29 @@ def test_ranking_metrics_multi_positive_takes_best(spark):
         rows, "query_id string, candidate string, score double, is_positive boolean"
     )
     assert ranking_metrics(scored).collect()[0].mrr == 1.0
+
+
+def test_calibration_bins_hand_computed(spark):
+    from phenobert_spark.operators.kg_metrics import calibration_bins
+
+    rows = [
+        (0.05, True), (0.05, False),          # bin 0: frac 0.5
+        (0.55, True), (0.55, True),           # bin 5: frac 1.0
+        (1.2, False), (-0.3, False),          # clamp: bins 9 and 0
+    ]
+    scored = spark.createDataFrame(rows, "score double, is_positive boolean")
+    got = {r.bin: r for r in calibration_bins(scored, n_bins=10).collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0].n == 3 and got[0].frac_positive == pytest.approx(1 / 3, abs=1e-6)
+    assert got[0].bin_lo == 0.0
+    assert got[5].n == 2 and got[5].frac_positive == 1.0
+    assert got[5].bin_lo == 0.5 and got[5].mean_score == pytest.approx(0.55, abs=1e-6)
+    assert got[9].n == 1 and got[9].frac_positive == 0.0
+
+
+def test_calibration_bins_rejects_bad_bins(spark):
+    from phenobert_spark.operators.kg_metrics import calibration_bins
+
+    scored = spark.createDataFrame([(0.5, True)], "score double, is_positive boolean")
+    with pytest.raises(ValueError):
+        calibration_bins(scored, n_bins=0)
