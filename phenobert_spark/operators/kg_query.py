@@ -156,10 +156,15 @@ def kg_snapshot_diff(
     in_old = F.coalesce(F.col("_in_old"), F.lit(False))
     in_new = F.coalesce(F.col("_in_new"), F.lit(False))
     if conf_col:
+        # null-safe inequality: a conf that went NULL -> value (or back)
+        # IS a change; plain != would yield NULL and silently drop it
         change = (
             F.when(~in_old, F.lit("added"))
             .when(~in_new, F.lit("removed"))
-            .when(F.col("old_conf") != F.col("new_conf"), F.lit("changed"))
+            .when(
+                ~F.col("old_conf").eqNullSafe(F.col("new_conf")),
+                F.lit("changed"),
+            )
         )
     else:
         change = F.when(~in_old, F.lit("added")).when(~in_new, F.lit("removed"))

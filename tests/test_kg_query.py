@@ -151,6 +151,28 @@ def test_snapshot_diff_classifies(spark):
     }
 
 
+def test_snapshot_diff_null_conf_transition_is_changed(spark):
+    # conf NULL -> 7 and 7 -> NULL are CHANGES; plain != would yield
+    # NULL in the when-chain and silently drop both rows as unchanged
+    old = spark.createDataFrame(
+        [("a", "p", "x", None), ("b", "p", "y", 7), ("c", "p", "z", None)],
+        "subj string, pred string, obj string, conf int",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x", 7), ("b", "p", "y", None), ("c", "p", "z", None)],
+        "subj string, pred string, obj string, conf int",
+    )
+    out = {
+        r.subj: (r.change, r.old_conf, r.new_conf)
+        for r in kg_snapshot_diff(old, new, conf_col="conf").collect()
+    }
+    # c: NULL == NULL null-safely -> unchanged -> absent
+    assert out == {
+        "a": ("changed", None, 7),
+        "b": ("changed", 7, None),
+    }
+
+
 def test_snapshot_diff_without_conf(spark):
     old = spark.createDataFrame([("a", "p", "x")], "subj string, pred string, obj string")
     new = spark.createDataFrame([("b", "p", "y")], "subj string, pred string, obj string")
