@@ -69,17 +69,33 @@ spark.stop()
 
 AMP = int(os.environ.get("DEDUP_SCALING_AMP", "64"))
 
+# Optional constant-memory-PER-CORE mode (SCALING_MEM_PER_CORE_MB): a real
+# N -> 4N executor scale-up carries 4x total memory (each executor keeps its
+# own heap), while a single local JVM at a fixed SPARK_DRIVER_MEMORY gives the
+# 16-core level 4x LESS memory per task than the 4-core level — an asymmetry a
+# cluster never sees, and the suspected cause of the x512 dedup windows
+# reading 0.66-0.75 while x256 clears 0.8. Setting e.g.
+# SCALING_MEM_PER_CORE_MB=1500 gives local[4] a 6g heap and local[16] 24g,
+# mirroring per-executor-constant memory. Unset = legacy fixed-heap protocol.
+MEM_PER_CORE_MB = os.environ.get("SCALING_MEM_PER_CORE_MB")
+
 
 def run_level(
     cores: int,
     sf_dir: str,
     n_runs: int = int(os.environ.get("DEDUP_SCALING_RUNS", "2")),
 ) -> dict:
+    env = dict(os.environ)
+    if MEM_PER_CORE_MB:
+        env["SPARK_DRIVER_MEMORY"] = f"{int(MEM_PER_CORE_MB) * cores}m"
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), sf_dir, str(AMP), str(n_runs)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    if MEM_PER_CORE_MB:
+        res["driver_memory"] = env["SPARK_DRIVER_MEMORY"]
+    return res
 
 
 def main() -> None:
@@ -111,8 +127,9 @@ def main() -> None:
         "sf_dir": sf_dir,
     }
     print(json.dumps(result))
+    proto = f" mem/core={MEM_PER_CORE_MB}m" if MEM_PER_CORE_MB else ""
     line = (
-        f"| dedup e2e {sf_dir} x{AMP} ({lo['n_docs']} docs, "
+        f"| dedup e2e {sf_dir} x{AMP}{proto} ({lo['n_docs']} docs, "
         f"{lo['survivors']} survivors) "
         f"| local[{lo['cores']}]: {lo['docs_per_sec']} docs/s ({lo['sec']}s) "
         f"| local[{hi['cores']}]: {hi['docs_per_sec']} docs/s ({hi['sec']}s) "
