@@ -34,6 +34,9 @@ consumer runs after construction:
                            --link-min-cn documents, ranked by
                            Adamic-Adar (q140) — candidate
                            related_to edges for review
+    <output>/neighborhood/  HyperBall neighborhood function N(r) +
+                           effective diameter (q169) — how far
+                           influence travels in the built graph
     <output>/training_negatives/  one deterministic corrupted concept
                            per annotation triple (q148) — the
                            negative half of a KG-embedding training
@@ -64,6 +67,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     p.add_argument("--seeds", default=None)
     p.add_argument("--top-ic-seeds", type=int, default=10)
     p.add_argument("--link-min-cn", type=int, default=2)
+    p.add_argument("--hb-radius", type=int, default=4)
     p.add_argument(
         "--ontology", choices=["reference", "fixture"], default="reference"
     )
@@ -229,6 +233,24 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         concept_types,
         default_type="document",
     ).write.mode("overwrite").parquet(f"{args.output}/schema_card")
+
+    # Neighborhood function + effective diameter (q169 operator): how
+    # far influence travels in the built KG — per-node HyperLogLog
+    # ball counters merged along edges (HyperBall), O(n * 2^p) state
+    # instead of materialized reachable sets, so the same call runs
+    # on the 10^12-edge graph.
+    from phenobert_spark.operators.kg_metrics import (
+        effective_diameter,
+        hyperball,
+        neighborhood_function,
+    )
+
+    hb = hyperball(edges, radius=args.hb_radius, p=9)
+    nf = neighborhood_function(hb).localCheckpoint(eager=True)
+    d90 = effective_diameter(hb, quantile=0.9)
+    nf.withColumn("effective_diameter_q90", F.lit(d90)).write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/neighborhood")
 
     if owns_session:
         spark.stop()

@@ -919,3 +919,119 @@ def calibration_bins(
             F.round(F.avg("_y"), 6).alias("frac_positive"),
         )
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    radius: int = 3,
+    p: int = 9,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function of a
+    graph — |ball(u, r)| = how many nodes are within r hops of u, for
+    every node and every radius 0..``radius`` — estimated with
+    per-node HyperLogLog counters instead of materialized reachable
+    sets. Exact ball computation is quadratic in the worst case
+    (reach_r blows up toward n^2 pairs on dense graphs); HyperBall
+    keeps O(n * 2^p) state TOTAL and each round is one equi-join +
+    one keyed max — this is how effective-diameter / centrality
+    statistics are computed on web-scale graphs, and the natural
+    "how far does influence travel" statistic for a KG's entity
+    graph.
+
+    Register recurrence: counter(u, r+1) = counter(u, r) merged (by
+    per-bucket max) with counter(w, r) for every out-edge u -> w.
+    Registers live SPARSELY as (node, bucket, rho) rows — a node's
+    row count is min(|ball|, 2^p), so early rounds are far below the
+    dense 2^p bound; merges are groupBy-max, map-side combinable,
+    and localCheckpoint flattens the per-round lineage exactly like
+    :func:`pagerank`. Hashes derive from md5 (sketches._md5_u32), so
+    registers AND estimates are cross-engine exact (q120 property);
+    the estimate stage is shared via
+    sketches.hll_estimate_from_registers.
+
+    Returns (node, radius, n_buckets, est) for radius 0..``radius``;
+    ``est`` at radius 0 is the linear-counting-corrected estimate of
+    1 (exactly ``m * ln(m / (m - 1))``).
+    """
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    from .sketches import hll_estimate_from_registers, hll_registers
+
+    e = edges.select(
+        F.col(src).cast("string").alias("u"),
+        F.col(dst).cast("string").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select("node", F.col("node").alias("member")),
+        "member",
+        ["node"],
+        p=p,
+    ).localCheckpoint(eager=True)
+
+    def _est(r: int, rg: DataFrame) -> DataFrame:
+        return hll_estimate_from_registers(rg, ["node"], p=p).select(
+            "node",
+            F.lit(r).cast("int").alias("radius"),
+            "n_buckets",
+            "est",
+        )
+
+    out = _est(0, regs)
+    for r in range(1, radius + 1):
+        prop = e.join(
+            regs.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), "bucket", "rho")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_est(r, regs))
+    return out
+
+
+def neighborhood_function(hb: DataFrame) -> DataFrame:
+    """Collapse a :func:`hyperball` table to the graph's neighborhood
+    function N(r) = sum over nodes of |ball(node, r)| — the curve whose
+    saturation point is the graph's (effective) diameter. One tiny
+    radius-keyed aggregate over an already-node-collapsed input."""
+    return (
+        hb.groupBy("radius")
+        .agg(F.sum("est").alias("n_pairs"))
+        .orderBy("radius")
+    )
+
+
+def effective_diameter(hb: DataFrame, quantile: float = 0.9) -> float:
+    """Effective diameter at ``quantile`` (Palmer et al. 2002 /
+    HyperBall's headline statistic): the interpolated radius r at
+    which N(r) first reaches quantile * N(r_max). Returns a float
+    (driver-side — the neighborhood function has one row per radius,
+    never corpus-sized). Linear interpolation between the bracketing
+    radii, matching the convention of the ANF/HyperBall literature."""
+    if not 0.0 < quantile <= 1.0:
+        raise ValueError("quantile must be in (0, 1]")
+    nf = [(r.radius, r.n_pairs) for r in neighborhood_function(hb).collect()]
+    if not nf:
+        raise ValueError("empty hyperball table")
+    target = quantile * nf[-1][1]
+    prev_r, prev_n = nf[0]
+    if prev_n >= target:
+        return float(prev_r)
+    for r, n in nf[1:]:
+        if n >= target:
+            return prev_r + (target - prev_n) / (n - prev_n) * (r - prev_r)
+        prev_r, prev_n = r, n
+    return float(nf[-1][0])

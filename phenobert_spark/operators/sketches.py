@@ -109,9 +109,20 @@ def hll_distinct(
     Plan: two keyed aggregates, both combiner-friendly; nothing
     proportional to |df| crosses the wire after the first partial max.
     """
+    regs = hll_registers(df, key_col, group_cols, p=p, salt=salt)
+    return hll_estimate_from_registers(regs, group_cols, p=p)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Estimate stage of :func:`hll_distinct`, exposed separately so
+    operators that BUILD register tables some other way (e.g.
+    kg_metrics.hyperball, which unions registers along graph edges)
+    share the exact same harmonic-sum + linear-counting arithmetic.
+    Input: (group..., bucket, rho) with one row per present bucket."""
     m = 1 << p
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-    regs = hll_registers(df, key_col, group_cols, p=p, salt=salt)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_inv_present"),
         F.count("*").alias("n_buckets"),

@@ -366,6 +366,110 @@ def pmi_bigrams(
     )
 
 
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR —
+    Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw-corpus doc by how much
+    more likely its hashed unigram+bigram features are under the
+    TARGET distribution (e.g. curated/wiki-like text) than under the
+    raw corpus itself; resampling by these weights shifts a 10^12-doc
+    crawl toward the target domain without training a classifier.
+
+    Features are word unigrams and space-joined bigrams under the
+    q13/q144 whitespace convention, hashed into ``buckets`` via the
+    first 8 hex chars of md5 (cross-engine exact — same idiom as
+    q119/q120). Both bag-of-bucket distributions are add-``smoothing``
+    estimated; a doc's log-weight is::
+
+        logw(d) = sum_{g in grams(d)} ln p_target[b(g)] - ln p_raw[b(g)]
+
+    Returns (id, n_grams, logw) for every doc with >= 1 token.
+
+    Scale: gram extraction is a narrow projection; each distribution
+    is one map-side-combinable aggregation that collapses to at most
+    ``buckets`` rows (broadcastable at any corpus size — THE point of
+    feature hashing here); scoring is a broadcast join of per-doc
+    bucket counts onto the ratio table plus one keyed-by-doc sum. No
+    UDFs, no driver collect.
+    """
+    B = int(buckets)
+
+    def _grams(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            ).alias("_toks"),
+        )
+        n1 = F.greatest(F.size("_toks") - F.lit(1), F.lit(0))
+        big = F.zip_with(
+            F.slice("_toks", 1, n1),
+            F.slice(F.col("_toks"), F.lit(2), n1),
+            lambda p, c: F.concat_ws(" ", p, c),
+        )
+        return base.select(
+            "_id", F.explode(F.concat(F.col("_toks"), big)).alias("_gram")
+        ).select(
+            "_id",
+            (
+                F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10).cast("long")
+                % F.lit(B)
+            ).alias("_b"),
+        )
+
+    raw_grams = _grams(docs).localCheckpoint(eager=True)
+    tgt_counts = (
+        _grams(target).groupBy("_b").agg(F.count("*").cast("double").alias("_ct"))
+    )
+    raw_counts = raw_grams.groupBy("_b").agg(
+        F.count("*").cast("double").alias("_cr")
+    )
+    # ratio table: <= B rows, dense over the buckets the raw corpus
+    # touches (raw is the scored corpus, so every scored gram has a row)
+    s = float(smoothing)
+    # coalesce: a gram-less target degrades to the uniform (smoothing-
+    # only) distribution instead of null-ing every weight
+    tt = tgt_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0.0)).alias("_tt"))
+    tr = raw_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0.0)).alias("_tr"))
+    ratio = F.broadcast(
+        raw_counts.join(tgt_counts, on="_b", how="left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce("_ct", F.lit(0.0)) + F.lit(s))
+                    / (F.col("_tt") + F.lit(s) * F.lit(float(B)))
+                )
+                - F.log(
+                    (F.col("_cr") + F.lit(s))
+                    / (F.col("_tr") + F.lit(s) * F.lit(float(B)))
+                )
+            ).alias("_lr"),
+        )
+    )
+    doc_buckets = raw_grams.groupBy("_id", "_b").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    return (
+        doc_buckets.join(ratio, on="_b")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_grams"),
+            F.sum(F.col("_n") * F.col("_lr")).alias("logw"),
+        )
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5821,6 +5821,167 @@ def q167(spark, sf_dir):
     return calibration_bins(scored, n_bins=10).orderBy("bin")
 
 
+@register(
+    "q168_dsir_weights",
+    r"""
+    WITH tl AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bigp AS (
+      SELECT doc_id, lang,
+             unnest(toks[1:len(toks) - 1]) AS prev,
+             unnest(toks[2:len(toks)]) AS cur
+      FROM tl WHERE len(toks) >= 2
+    ), grams AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(toks) AS gram FROM tl
+      UNION ALL
+      SELECT doc_id, lang, prev || ' ' || cur AS gram FROM bigp
+    ), gb AS MATERIALIZED (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+      FROM grams
+    ), tgt AS (
+      SELECT b, COUNT(*)::DOUBLE AS ct FROM gb WHERE lang = 'en'
+      GROUP BY b
+    ), rawc AS (
+      SELECT b, COUNT(*)::DOUBLE AS cr FROM gb GROUP BY b
+    ), tots AS (
+      SELECT (SELECT SUM(ct) FROM tgt) AS tt,
+             (SELECT SUM(cr) FROM rawc) AS tr
+    ), ratio AS (
+      SELECT r.b,
+             ln((COALESCE(t.ct, 0.0) + 1.0) / (tots.tt + 1.0 * 4096))
+           - ln((r.cr + 1.0) / (tots.tr + 1.0 * 4096)) AS lr
+      FROM rawc r LEFT JOIN tgt t USING (b), tots
+    ), db AS (
+      SELECT doc_id, b, COUNT(*)::DOUBLE AS n FROM gb
+      GROUP BY doc_id, b
+    )
+    SELECT d.doc_id, SUM(d.n)::BIGINT AS n_grams,
+           ROUND(SUM(d.n * r.lr), 6) AS logw
+    FROM db d JOIN ratio r USING (b)
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q168(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights (operators/text.
+    dsir_importance; Xie et al. 2023): every doc scored by the
+    log-ratio of its hashed unigram+bigram features under the
+    English-subset target vs the raw corpus — the data-selection
+    signal that shifts a web crawl toward a target domain without a
+    trained classifier. md5-derived 4096-way feature hashing makes
+    the float weights cross-engine exact; the oracle re-derives both
+    smoothed distributions and the per-doc weighted sum in SQL."""
+    from ..operators.text import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_importance(d, d.filter(F.col("lang") == "en"), buckets=4096)
+    return out.select(
+        "doc_id", "n_grams", F.round("logw", 6).alias("logw")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q169_hyperball",
+    """
+    WITH edges0 AS (
+      SELECT 'N' || n_nationkey AS u, 'R' || n_regionkey AS v FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM edges0 UNION ALL SELECT v AS u, u AS v FROM edges0
+      ) WHERE u <> v
+    ), nodes AS (
+      SELECT u AS node FROM edges UNION SELECT v FROM edges
+    ), r0 AS MATERIALIZED (
+      SELECT node, node AS member FROM nodes
+    ), r1 AS MATERIALIZED (
+      SELECT DISTINCT node, member FROM (
+        SELECT node, member FROM r0
+        UNION ALL
+        SELECT e.u AS node, r.member FROM edges e JOIN r0 r ON r.node = e.v
+      )
+    ), r2 AS MATERIALIZED (
+      SELECT DISTINCT node, member FROM (
+        SELECT node, member FROM r1
+        UNION ALL
+        SELECT e.u AS node, r.member FROM edges e JOIN r1 r ON r.node = e.v
+      )
+    ), r3 AS MATERIALIZED (
+      SELECT DISTINCT node, member FROM (
+        SELECT node, member FROM r2
+        UNION ALL
+        SELECT e.u AS node, r.member FROM edges e JOIN r2 r ON r.node = e.v
+      )
+    ), balls AS (
+      SELECT 0 AS radius, node, member FROM r0
+      UNION ALL SELECT 1, node, member FROM r1
+      UNION ALL SELECT 2, node, member FROM r2
+      UNION ALL SELECT 3, node, member FROM r3
+    ), h AS (
+      SELECT radius, node,
+             ('0x' || substr(md5(member), 1, 8))::BIGINT AS h
+      FROM balls
+    ), rr AS (
+      SELECT radius, node, h // 8388608 AS bucket,
+             CASE WHEN h % 8388608 = 0 THEN 24
+                  ELSE 24 - length(bin(h % 8388608)) END AS rho
+      FROM h
+    ), regs AS (
+      SELECT radius, node, bucket, MAX(rho) AS rho FROM rr GROUP BY 1, 2, 3
+    ), agg AS (
+      SELECT radius, node,
+             SUM(pow(2.0::DOUBLE, -rho)) AS inv_present,
+             COUNT(*) AS n_buckets
+      FROM regs GROUP BY 1, 2
+    ), est AS (
+      SELECT radius, node, n_buckets, (512 - n_buckets) AS n_zero,
+             (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+               * 512.0::DOUBLE * 512.0::DOUBLE
+               / (inv_present + (512 - n_buckets)::DOUBLE) AS raw
+      FROM agg
+    )
+    SELECT node, radius::INT AS radius, n_buckets::BIGINT AS n_buckets,
+           ROUND(CASE WHEN raw <= 1280.0::DOUBLE AND n_zero > 0
+                      THEN 512.0::DOUBLE * ln(512.0::DOUBLE / n_zero)
+                      ELSE raw END, 4) AS est
+    FROM est
+    ORDER BY radius, node
+    """,
+)
+def q169(spark, sf_dir):
+    """HyperBall neighborhood function (operators/kg_metrics.
+    hyperball; Boldi & Vigna 2013) over the undirected q113
+    supplier-nation-region graph: per-node HLL counters of the
+    r-hop ball for r = 0..3, merged along edges by per-bucket max —
+    the web-scale substitute for materializing reachable sets (O(n)
+    counter state per round vs worst-case n^2 pairs). md5-derived
+    registers (q120 property) make every ESTIMATE cross-engine
+    exact; the oracle materializes the true reachable sets by
+    unrolled joins and sketches them with identical arithmetic."""
+    from ..operators.kg_metrics import hyperball
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    out = hyperball(edges, radius=3, p=9, directed=False)
+    return out.select(
+        "node", "radius", "n_buckets", F.round("est", 4).alias("est")
+    ).orderBy("radius", "node")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -5839,6 +6000,8 @@ def q167(spark, sf_dir):
 
 _DRIVER_WINDOW_PRIORITY = [
     # never seen by any driver run or judge (round-5 additions):
+    "q168_dsir_weights",
+    "q169_hyperball",
     "q138_funnel_windowed",
     "q139_hits",
     "q140_link_prediction",

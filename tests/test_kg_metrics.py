@@ -382,6 +382,13 @@ def test_kg_metrics_job_end_to_end(spark, tmp_path):
     )
     assert card[0].n_triples == fused.count()
 
+    # round-5 artifact: neighborhood function + effective diameter
+    nf = spark.read.parquet(f"{out}/neighborhood").orderBy("radius").collect()
+    assert [r.radius for r in nf] == [0, 1, 2, 3, 4]
+    assert all(a.n_pairs <= b.n_pairs + 1e-9 for a, b in zip(nf, nf[1:]))
+    assert nf[0].effective_diameter_q90 >= 0.0
+    assert len({r.effective_diameter_q90 for r in nf}) == 1
+
 
 # ---------------------------------------------------------------------------
 # round-5 graph additions: HITS, k-core, link prediction, co-occurrence
@@ -600,3 +607,144 @@ def test_calibration_bins_rejects_bad_bins(spark):
     scored = spark.createDataFrame([(0.5, True)], "score double, is_positive boolean")
     with pytest.raises(ValueError):
         calibration_bins(scored, n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# hyperball
+# ---------------------------------------------------------------------------
+
+def _exact_balls(edges, radius, directed=False):
+    """Brute-force r-hop reachable sets (the quadratic computation
+    hyperball exists to avoid) for the equivalence check."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        nodes.update((u, v))
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    balls = {(n, 0): {n} for n in nodes}
+    for r in range(1, radius + 1):
+        for n in nodes:
+            b = set(balls[(n, 0)])
+            frontier = {n}
+            for _ in range(r):
+                frontier = {w for x in frontier for w in adj.get(x, ())}
+                b |= frontier
+            balls[(n, r)] = b
+    return balls
+
+
+_HB_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # path
+    ("c", "f"), ("f", "g"),                          # branch
+    ("x", "y"),                                      # separate component
+]
+
+
+def test_hyperball_equals_hll_of_exact_ball(spark):
+    """hyperball's estimate at (node, r) must EQUAL hll_distinct run
+    on the exact r-hop reachable set — the register recurrence is a
+    lossless union, so the sketches coincide, not just approximate."""
+    from phenobert_spark.operators.kg_metrics import hyperball
+    from phenobert_spark.operators.sketches import hll_distinct
+
+    radius = 3
+    got = {
+        (r.node, r.radius): (r.n_buckets, r.est)
+        for r in hyperball(
+            spark.createDataFrame(_HB_EDGES, "src string, dst string"),
+            radius=radius, p=9,
+        ).collect()
+    }
+    balls = _exact_balls(_HB_EDGES, radius)
+    rows = [
+        (n, r, m) for (n, r), members in balls.items() for m in members
+    ]
+    want = {
+        (x.node, x.radius): (x.n_buckets, x.est)
+        for x in hll_distinct(
+            spark.createDataFrame(rows, "node string, radius int, member string"),
+            "member", ["node", "radius"], p=9,
+        ).collect()
+    }
+    assert got == want
+    # and every estimate is close to truth at these tiny ball sizes
+    for (n, r), (_, est) in got.items():
+        exact = len(balls[(n, r)])
+        assert abs(est - exact) / exact < 0.2, (n, r, est, exact)
+
+
+def test_hyperball_monotone_and_radius0(spark):
+    import math as m
+
+    from phenobert_spark.operators.kg_metrics import hyperball
+
+    out = hyperball(
+        spark.createDataFrame(_HB_EDGES, "src string, dst string"),
+        radius=2, p=9,
+    ).collect()
+    one = 512.0 * m.log(512.0 / 511.0)  # linear counting of a singleton
+    by_node = {}
+    for r in out:
+        by_node.setdefault(r.node, {})[r.radius] = r.est
+        if r.radius == 0:
+            assert r.est == pytest.approx(one, rel=1e-12)
+    for n, ests in by_node.items():
+        assert ests[0] <= ests[1] + 1e-9 and ests[1] <= ests[2] + 1e-9
+
+
+def test_hyperball_directed_respects_edge_direction(spark):
+    from phenobert_spark.operators.kg_metrics import hyperball
+
+    edges = [("a", "b"), ("b", "c")]
+    out = {
+        (r.node, r.radius): r.n_buckets
+        for r in hyperball(
+            spark.createDataFrame(edges, "src string, dst string"),
+            radius=2, p=9, directed=True,
+        ).collect()
+    }
+    # out-ball of c never grows; a reaches all three at r=2
+    assert out[("c", 0)] == out[("c", 2)] == 1
+    assert out[("a", 2)] == 3
+
+
+def test_hyperball_rejects_negative_radius(spark):
+    from phenobert_spark.operators.kg_metrics import hyperball
+
+    with pytest.raises(ValueError):
+        hyperball(
+            spark.createDataFrame([("a", "b")], "src string, dst string"),
+            radius=-1,
+        )
+
+
+def test_effective_diameter_path_graph(spark):
+    from phenobert_spark.operators.kg_metrics import (
+        effective_diameter,
+        hyperball,
+        neighborhood_function,
+    )
+
+    # path a-b-c-d-e: exact N(r) at p=9 is essentially exact for
+    # these ball sizes, so the interpolated diameter lands between
+    # the true bracketing radii
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    hb = hyperball(
+        spark.createDataFrame(edges, "src string, dst string"),
+        radius=4, p=9,
+    )
+    nf = {r.radius: r.n_pairs for r in neighborhood_function(hb).collect()}
+    # true pair counts within r hops on the 5-path:
+    # r=0: 5, r=1: 13, r=2: 19, r=3: 23, r=4: 25
+    for r, exact in {0: 5, 1: 13, 2: 19, 3: 23, 4: 25}.items():
+        assert abs(nf[r] - exact) / exact < 0.1, (r, nf[r], exact)
+    d = effective_diameter(hb, quantile=0.9)
+    # 0.9 * 25 = 22.5 lands between N(2)=19 and N(3)=23 -> d in (2, 3)
+    assert 2.0 < d < 3.0
+    assert effective_diameter(hb, quantile=0.01) == 0.0
+    with pytest.raises(ValueError):
+        effective_diameter(hb, quantile=0.0)

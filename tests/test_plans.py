@@ -295,3 +295,41 @@ def test_negative_sample_plan_broadcast_index(spark):
     # one nested-loop node = two mentions in "formatted" (tree + detail)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "IdentityBroadcastMode" in plan  # the 1-row scalar, nothing else
+
+
+def test_hyperball_plan_equijoin_only(spark):
+    """HyperBall's register propagation must be the node-keyed
+    equi-join + keyed max — a cartesian/nested-loop would be the
+    all-pairs reachability it exists to avoid. The per-round
+    localCheckpoint means only the LAST round's plan is inspectable;
+    it carries the full join+agg shape."""
+    from phenobert_spark.operators.kg_metrics import hyperball
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(80)],
+        "src string, dst string",
+    )
+    plan = _formatted_plan(spark, hyperball(edges, radius=2, p=7))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_plan_broadcast_ratio_table(spark):
+    """DSIR scoring joins per-doc bucket counts onto the <= B-row
+    log-ratio table as a BROADCAST equi-join; the corpus-sized gram
+    stream must never sort-merge against it, and the only nested-loop
+    nodes are the two 1-row total attaches."""
+    from phenobert_spark.operators.text import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(str(i), f"tok{i % 13} tok{(i + 1) % 13} tok{(i + 2) % 7}")
+         for i in range(60)],
+        "doc_id string, text string",
+    )
+    plan = _formatted_plan(
+        spark, dsir_importance(docs, docs.limit(20), buckets=256)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the two scalar totals ride broadcast nested loops (1-row each)
+    assert "IdentityBroadcastMode" in plan

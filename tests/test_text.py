@@ -210,3 +210,87 @@ def test_bpe_train_overlapping_pairs_merge_left_to_right(spark):
     docs = spark.createDataFrame([(1, "aaa")], "doc_id int, text string")
     got = bpe_train(docs, n_merges=3)
     assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+def _dsir_twin(doc_rows, target_texts, buckets=4096, s=1.0):
+    """Pure-python re-derivation of the DSIR weight (same md5 feature
+    hashing) for cross-checking the distributed version."""
+    import hashlib
+    import math
+    import re as _re
+
+    def grams(text):
+        toks = [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+    tgt, raw = {}, {}
+    for t in target_texts:
+        for g in grams(t):
+            b = bucket(g)
+            tgt[b] = tgt.get(b, 0) + 1
+    for _, t in doc_rows:
+        for g in grams(t):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+    tt, tr = sum(tgt.values()), sum(raw.values())
+    out = {}
+    for did, t in doc_rows:
+        gs = grams(t)
+        if not gs:
+            continue
+        logw = sum(
+            math.log((tgt.get(bucket(g), 0) + s) / (tt + s * buckets))
+            - math.log((raw[bucket(g)] + s) / (tr + s * buckets))
+            for g in gs
+        )
+        out[did] = (len(gs), logw)
+    return out
+
+
+def test_dsir_importance_matches_python_twin(spark):
+    from phenobert_spark.operators.text import dsir_importance
+
+    rows = [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "stock market prices fell sharply today"),
+        ("d3", "the cat chased the dog on the mat"),
+        ("d4", "buy cheap pills online now click here"),
+        ("d5", "a dog sat near the cat"),
+    ]
+    target = [r for r in rows if r[0] in ("d1", "d3", "d5")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    tgt = spark.createDataFrame(target, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.logw)
+        for r in dsir_importance(docs, tgt).collect()
+    }
+    want = _dsir_twin(rows, [t for _, t in target])
+    assert set(got) == set(want)
+    for did, (n, w) in want.items():
+        assert got[did][0] == n
+        assert got[did][1] == pytest.approx(w, abs=1e-9)
+    # target-like docs outrank the spam doc under the target measure
+    assert min(got[d][1] for d in ("d1", "d3", "d5")) > got["d4"][1]
+
+
+def test_dsir_importance_empty_and_single_token_docs(spark):
+    from phenobert_spark.operators.text import dsir_importance
+
+    docs = spark.createDataFrame(
+        [("e", ""), ("w", "word"), ("t", "two tokens")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: r.n_grams
+        for r in dsir_importance(docs, docs.filter("doc_id = 'w'")).collect()
+    }
+    # empty doc contributes no grams and is omitted; "word" has one
+    # unigram and no bigram; "two tokens" has 2 unigrams + 1 bigram
+    assert got == {"w": 1, "t": 3}
