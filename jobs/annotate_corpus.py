@@ -9,6 +9,10 @@ edge/node tables with per-bucket checkpointing (north rule launch mode).
         [--n-buckets 256] [--use-model-stages] [--write-nodes]
 
 Re-running with the same --output resumes from the bucket manifest.
+With --delta, a CHANGED corpus snapshot (docs added / modified /
+removed since the last run) is diffed against the manifest lineage and
+only drifted buckets are re-annotated — the day-N+1 incremental ingest
+path (O(changed buckets) work, one fingerprint scan of the input).
 """
 
 from __future__ import annotations
@@ -27,12 +31,19 @@ def main() -> None:
     ap.add_argument("--use-model-stages", action="store_true")
     ap.add_argument("--write-nodes", action="store_true")
     ap.add_argument("--chunk-bytes", type=int, default=4096)
+    ap.add_argument(
+        "--delta",
+        action="store_true",
+        help="incremental ingest: diff the snapshot against the manifest "
+        "lineage and reprocess only drifted buckets (annotate_delta)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from phenobert_spark.config import PipelineConfig
     from phenobert_spark.materialize import (
+        annotate_delta,
         read_manifest,
         run_with_checkpoint,
         write_nodes,
@@ -52,7 +63,8 @@ def main() -> None:
     docs = read_documents(spark, args.input)
 
     t0 = time.time()
-    result = run_with_checkpoint(
+    runner = annotate_delta if args.delta else run_with_checkpoint
+    result = runner(
         spark, docs, onto, args.output, cfg, n_buckets=args.n_buckets
     )
     if args.write_nodes:

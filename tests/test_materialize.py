@@ -131,3 +131,37 @@ def test_partial_write_without_manifest_is_replaced(spark, onto, corpus, tmp_pat
         .collect()
     }
     assert {(r.doc_id, r.hpo_id, r.start, r.end): r["count"] for r in got} == want
+
+
+def test_annotate_delta_incremental_ingest(spark, onto, corpus, tmp_path):
+    """Day-N+1 ingest (materialize.annotate_delta): after the corpus
+    gains docs and loses docs, only drifted buckets reprocess, and the
+    resulting triple table is EXACTLY what a from-scratch run over the
+    new snapshot produces — additions appear, deletions disappear."""
+    from phenobert_spark.materialize import annotate_delta
+
+    out = str(tmp_path / "g")
+    run_with_checkpoint(spark, corpus, onto, out, n_buckets=8)
+
+    extra, _ = synthesize_corpus(spark, onto, n_docs=30)
+    extra = extra.orderBy("path").limit(3).withColumn(
+        "path", F.concat(F.lit("new/"), F.col("path"))
+    )
+    dropped = corpus.orderBy("path").limit(1)
+    day2 = corpus.join(dropped, on="path", how="left_anti").unionByName(extra)
+
+    res = annotate_delta(spark, day2, onto, out, n_buckets=8)
+    assert res["invalidated"], "drifted buckets must be detected"
+    assert res["processed"] == len(res["invalidated"]) < 8
+    # lineage is clean again for the new snapshot...
+    assert verify_manifest(spark, day2, out, n_buckets=8).count() == 0
+    # ...and the graph equals a from-scratch build over day2
+    scratch = str(tmp_path / "scratch")
+    run_with_checkpoint(spark, day2, onto, scratch, n_buckets=8)
+    cols = ["doc_id", "hpo_id"]
+    a = {tuple(r) for r in read_triples(spark, out).select(*cols).collect()}
+    b = {tuple(r) for r in read_triples(spark, scratch).select(*cols).collect()}
+    assert a == b
+    # idempotent: same snapshot again -> nothing to do
+    res2 = annotate_delta(spark, day2, onto, out, n_buckets=8)
+    assert res2["invalidated"] == [] and res2["processed"] == 0
