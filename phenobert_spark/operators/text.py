@@ -470,6 +470,47 @@ def dsir_importance(
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """The full DSIR recipe in one call: score every raw doc with
+    :func:`dsir_importance`, then importance-RESAMPLE ``k`` of them
+    without replacement with inclusion probability ∝ the importance
+    ratio exp(logw) — sampling, not top-k, is what keeps the selected
+    set diverse instead of k near-copies of the target mode (Xie et
+    al. 2023 §3). The draw reuses
+    :func:`~..sampling.weighted_order_sample`'s deterministic
+    md5-priority order sampling, so the SELECTED SET is a pure
+    function of (corpus, target, salt) — any engine, any partitioning,
+    any day re-derives it, which is what a reproducible training-data
+    release needs.
+
+    Returns (id, logw, priority) for the k selected docs; semi-join it
+    back onto the corpus for the content. Scale: dsir_importance's
+    broadcast scoring plus one TakeOrdered top-k — no global sort.
+    """
+    from .sampling import weighted_order_sample
+
+    w = dsir_importance(
+        docs, target, id_col=id_col, text_col=text_col,
+        buckets=buckets, smoothing=smoothing,
+    )
+    return (
+        weighted_order_sample(
+            w.select(id_col, "logw", F.exp("logw").alias("_w")),
+            "_w", k, id_col=id_col, salt=salt,
+        )
+        .select(id_col, "logw", "priority")
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -294,3 +294,36 @@ def test_dsir_importance_empty_and_single_token_docs(spark):
     # empty doc contributes no grams and is omitted; "word" has one
     # unigram and no bigram; "two tokens" has 2 unigrams + 1 bigram
     assert got == {"w": 1, "t": 3}
+
+
+def test_dsir_select_deterministic_and_target_biased(spark):
+    from phenobert_spark.operators.text import dsir_importance, dsir_select
+
+    tgt_vocab = "genome protein variant phenotype clinical allele"
+    junk_vocab = "buy cheap click now free winner prize offer"
+    rows = []
+    for i in range(20):
+        w = tgt_vocab.split()
+        rows.append((f"t{i:02d}", " ".join(w[i % 3:] + w[: i % 3])))
+    for i in range(20):
+        w = junk_vocab.split()
+        rows.append((f"j{i:02d}", " ".join(w[i % 4:] + w[: i % 4])))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    target = docs.filter(F.col("doc_id").startswith("t")).limit(8)
+
+    sel = dsir_select(docs, target, k=10, salt="r5")
+    got = sorted(r.doc_id for r in sel.collect())
+    assert len(got) == 10
+    # deterministic: identical selection on a repartitioned rerun
+    again = sorted(
+        r.doc_id
+        for r in dsir_select(docs.repartition(7), target, k=10, salt="r5").collect()
+    )
+    assert got == again
+    # biased toward the target: selected mean logw above corpus mean
+    allw = {r.doc_id: r.logw for r in dsir_importance(docs, target).collect()}
+    sel_mean = sum(allw[d] for d in got) / len(got)
+    corpus_mean = sum(allw.values()) / len(allw)
+    assert sel_mean > corpus_mean
+    # and the target-like half dominates the selection
+    assert sum(d.startswith("t") for d in got) >= 7
