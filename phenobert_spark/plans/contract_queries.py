@@ -5999,44 +5999,13 @@ def q169(spark, sf_dir):
 # block keeps its local pre-flight and pytest coverage.
 
 _DRIVER_WINDOW_PRIORITY = [
-    # never seen by any driver run or judge (round-5 additions):
-    "q168_dsir_weights",
-    "q169_hyperball",
-    "q138_funnel_windowed",
-    "q139_hits",
-    "q140_link_prediction",
-    "q141_k_core",
-    "q142_cooccurrence_lift",
-    "q143_validity_intervals",
-    "q144_bigram_nll",
-    "q145_graph_summary",
-    "q146_bpe_merges",
-    "q147_entity_resolution",
-    "q148_kg_negative_sample",
-    "q149_transitive_reduction",
-    "q150_fuse_triples",
-    "q151_bgp_match",
-    "q152_kg_snapshot_diff",
-    "q153_neighborhood_jaccard",
-    "q154_random_walks",
-    "q155_shacl_violations",
-    "q156_predicate_schema",
-    "q157_inverse_predicates",
-    "q158_kg_time_travel",
-    "q159_ego_sample",
-    "q160_bgp_optional",
-    "q161_pool_evidence",
-    "q162_schema_graph",
-    "q163_subsumptions",
-    "q164_rule_mining",
-    "q165_rule_apply",
-    "q166_ranking_metrics",
-    "q167_calibration_bins",
-    # fresh value-oracles (were rows-only through r4):
-    "q90_hpo_pipeline_fixture",
-    "q91_multimodal_features",
-    "q96_train_counters",
-    # r4 judge re-verified these locally (check_contract 36/36):
+    # The r4 verdict's top item, verbatim: "Reorder the contract
+    # registry so the driver's ~50-entry window records q102-q137 (36
+    # locally-green queries with zero driver evidence) in
+    # CORRECTNESS_r05.json."  Those 36 come first, then the three
+    # queries that gained value-oracles in r5 (rows-only through r4),
+    # then the round-5 additions (q138+) fill whatever window remains;
+    # any overflow is covered by tools/check_contract.py locally.
     "q102_pack_sequences",
     "q103_stratified_split",
     "q104_corpus_length_stats",
@@ -6073,6 +6042,43 @@ _DRIVER_WINDOW_PRIORITY = [
     "q135_feature_propagation",
     "q136_rendezvous_resharding",
     "q137_personalized_pagerank",
+    # fresh value-oracles (were rows-only through r4):
+    "q90_hpo_pipeline_fixture",
+    "q91_multimodal_features",
+    "q96_train_counters",
+    # round-5 additions, never seen by any driver run or judge:
+    "q168_dsir_weights",
+    "q169_hyperball",
+    "q138_funnel_windowed",
+    "q139_hits",
+    "q140_link_prediction",
+    "q141_k_core",
+    "q142_cooccurrence_lift",
+    "q143_validity_intervals",
+    "q144_bigram_nll",
+    "q145_graph_summary",
+    "q146_bpe_merges",
+    "q147_entity_resolution",
+    "q148_kg_negative_sample",
+    "q149_transitive_reduction",
+    "q150_fuse_triples",
+    "q151_bgp_match",
+    "q152_kg_snapshot_diff",
+    "q153_neighborhood_jaccard",
+    "q154_random_walks",
+    "q155_shacl_violations",
+    "q156_predicate_schema",
+    "q157_inverse_predicates",
+    "q158_kg_time_travel",
+    "q159_ego_sample",
+    "q160_bgp_optional",
+    "q161_pool_evidence",
+    "q162_schema_graph",
+    "q163_subsumptions",
+    "q164_rule_mining",
+    "q165_rule_apply",
+    "q166_ranking_metrics",
+    "q167_calibration_bins",
 ]
 
 
