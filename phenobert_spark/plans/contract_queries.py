@@ -5982,6 +5982,85 @@ def q169(spark, sf_dir):
     ).orderBy("radius", "node")
 
 
+@register(
+    "q170_dsir_select",
+    r"""
+    WITH tl AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bigp AS (
+      SELECT doc_id, lang,
+             unnest(toks[1:len(toks) - 1]) AS prev,
+             unnest(toks[2:len(toks)]) AS cur
+      FROM tl WHERE len(toks) >= 2
+    ), grams AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(toks) AS gram FROM tl
+      UNION ALL
+      SELECT doc_id, lang, prev || ' ' || cur AS gram FROM bigp
+    ), gb AS MATERIALIZED (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+      FROM grams
+    ), tgt AS (
+      SELECT b, COUNT(*)::DOUBLE AS ct FROM gb WHERE lang = 'en'
+      GROUP BY b
+    ), rawc AS (
+      SELECT b, COUNT(*)::DOUBLE AS cr FROM gb GROUP BY b
+    ), tots AS (
+      SELECT (SELECT SUM(ct) FROM tgt) AS tt,
+             (SELECT SUM(cr) FROM rawc) AS tr
+    ), ratio AS (
+      SELECT r.b,
+             ln((COALESCE(t.ct, 0.0) + 1.0) / (tots.tt + 1.0 * 4096))
+           - ln((r.cr + 1.0) / (tots.tr + 1.0 * 4096)) AS lr
+      FROM rawc r LEFT JOIN tgt t USING (b), tots
+    ), db AS (
+      SELECT doc_id, b, COUNT(*)::DOUBLE AS n FROM gb
+      GROUP BY doc_id, b
+    ), w AS (
+      SELECT d.doc_id, SUM(d.n * r.lr) AS logw
+      FROM db d JOIN ratio r USING (b)
+      GROUP BY d.doc_id
+    ), pr AS (
+      SELECT doc_id, logw,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1)::DOUBLE / 4294967296.0::DOUBLE / exp(logw) AS priority
+      FROM w
+    ), r AS (
+      SELECT doc_id, logw,
+             ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn
+      FROM pr
+    )
+    SELECT doc_id, ROUND(logw, 6) AS logw
+    FROM r WHERE rn <= 50
+    ORDER BY doc_id
+    """,
+)
+def q170(spark, sf_dir):
+    """End-to-end DSIR data SELECTION (operators/text.dsir_select;
+    Xie et al. 2023 §3): q168's hashed-n-gram importance weights
+    composed with q125's deterministic sequential-Poisson order
+    sampling — 50 docs drawn without replacement with inclusion
+    probability ∝ exp(logw), so the released training subset is
+    biased toward the English target yet still diverse (resampling,
+    not top-k). The md5-priority draw makes the SELECTED SET a pure
+    function of (corpus, target, salt); the oracle re-derives weights,
+    priorities, and the exact 50-doc selection in SQL. The only
+    cross-engine float in the rank key is exp(logw) — selection flips
+    only on a priority near-tie at the k-boundary within the engines'
+    ~1e-13 logw-summation divergence, vanishingly unlikely under
+    md5-uniform priorities (same accepted-risk class as q126's sqrt)."""
+    from ..operators.text import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_select(d, d.filter(F.col("lang") == "en"), k=50, buckets=4096)
+    return out.select(
+        "doc_id", F.round("logw", 6).alias("logw")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
