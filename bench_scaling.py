@@ -75,13 +75,38 @@ spark.stop()
 
 AMP = int(os.environ.get("SCALING_AMP", "128"))
 
+# Sandbox-asymmetry corrections, same rationale and env knobs as
+# bench_dedup_scaling.py: a real N -> 4N executor scale-up carries 4x
+# total heap (per-executor-constant memory) and 4x node-local disks,
+# while one local JVM at a fixed driver heap + one shared virtual disk
+# gives the 16-core level 4x less memory per task and serialized
+# shuffle writes — asymmetries a cluster never sees. Both knobs apply
+# to BOTH levels (paired), so the ratio stays honest about
+# CPU/scheduling scaling. Unset = legacy fixed-heap protocol.
+MEM_PER_CORE_MB = os.environ.get("SCALING_MEM_PER_CORE_MB")
+SHM_SHUFFLE = os.environ.get("SCALING_SHM_SHUFFLE")
+
 
 def run_level(cores: int, sf_dir: str, n_runs: int = 3) -> dict:
+    env = dict(os.environ)
+    if MEM_PER_CORE_MB:
+        env["SPARK_DRIVER_MEMORY"] = f"{int(MEM_PER_CORE_MB) * cores}m"
+    if SHM_SHUFFLE:
+        d = f"/dev/shm/spark-scaling-{os.getpid()}-{cores}"
+        os.makedirs(d, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = d
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), sf_dir, str(AMP), str(n_runs)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    if MEM_PER_CORE_MB:
+        res["driver_memory"] = env["SPARK_DRIVER_MEMORY"]
+    if SHM_SHUFFLE:
+        import shutil
+
+        shutil.rmtree(env["SPARK_LOCAL_DIRS"], ignore_errors=True)
+    return res
 
 
 def best_of_levels(runs: list[dict]) -> dict:
@@ -132,8 +157,11 @@ def main() -> None:
         "sf_dir": sf_dir,
     }
     print(json.dumps(result))
+    proto = f" mem/core={MEM_PER_CORE_MB}m" if MEM_PER_CORE_MB else ""
+    if SHM_SHUFFLE:
+        proto += " shm-shuffle"
     line = (
-        f"| {sf_dir} x{AMP} ({lo['n_docs']} docs) "
+        f"| {sf_dir} x{AMP}{proto} ({lo['n_docs']} docs) "
         f"| local[{lo['cores']}]: {lo['docs_per_sec']} docs/s ({lo['sec']}s) "
         f"| local[{hi['cores']}]: {hi['docs_per_sec']} docs/s ({hi['sec']}s) "
         f"| **{eff:.3f}** |\n"
