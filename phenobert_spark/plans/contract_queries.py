@@ -6061,6 +6061,109 @@ def q170(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "q171_json_props_rollup",
+    r"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS INT))
+             AS n_with_field,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+             AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+             AS avg_k,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q171(spark, sf_dir):
+    """Schema-on-read JSON analytics (operators/semistructured
+    .props_rollup): the events table's schemaless ``props`` JSON
+    string is parsed ONCE per row into typed columns JVM-side
+    (from_json, no UDF) and aggregated per event_type. The raw JSON
+    never reaches the shuffle — the parse-project drops it, so the
+    exchange carries only (event_type, k, value). Malformed JSON
+    parses to NULL (counted via n_with_field) instead of failing the
+    job, the only acceptable behavior at 10^12 rows."""
+    from ..operators.semistructured import props_rollup
+
+    e = _t(spark, sf_dir, "events")
+    out = props_rollup(e)
+    return out.select(
+        "event_type",
+        "n_events",
+        "n_with_field",
+        F.col("sum_k").cast("long").alias("sum_k"),
+        "avg_k",
+        "avg_value",
+    )
+
+
+@register(
+    "q172_pii_redact",
+    r"""
+    WITH fixture AS (
+      SELECT doc_id,
+             text
+               || repeat(' user' || doc_id || '@example.com',
+                         (1 + doc_id % 3)::INT)
+               || ' from 10.' || (doc_id % 256) || '.0.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'))
+             AS redacted_md5,
+           len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(text,
+                 '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT
+             AS n_ips
+    FROM fixture
+    ORDER BY doc_id
+    """,
+)
+def q172(spark, sf_dir):
+    """PII scrubbing pass (operators/text.pii_redact): emails and
+    IPv4 addresses redacted from the corpus with per-row hit counts,
+    value-checked via md5 of the full redacted text. The documents
+    table carries no PII, so the query injects a deterministic
+    doc_id-derived email block (1 + doc_id % 3 copies) and one IP into
+    BOTH engines' inputs — the oracle checks the redaction/counting
+    SEMANTICS, not the fixture. Patterns are lookahead-free so Java
+    regex and RE2 agree span-for-span (BPE_PRETOKEN_RE discipline).
+    Map-only pass: no shuffle, whole-stage codegen."""
+    from ..operators.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat(concat(' user', doc_id, '@example.com'),"
+                " CAST(1 + doc_id % 3 AS INT))"
+            ),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text"),
+    )
+    out = pii_redact(fixture)
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
