@@ -147,6 +147,88 @@ def mica_similarity(
     )
 
 
+def bma_doc_similarity(
+    pairs: DataFrame,
+    annotations: DataFrame,
+    closure: DataFrame,
+    ic: DataFrame,
+    d1: str = "d1",
+    d2: str = "d2",
+    doc_col: str = "doc_id",
+    concept_col: str = "concept",
+    node_col: str = "node",
+    anc_col: str = "anc",
+) -> DataFrame:
+    """Symmetric best-match-average (BMA) semantic similarity between
+    annotated documents — the patient/document phenotype-similarity
+    primitive the reference's DAG-aware scorer approximates per eval
+    pair (reference ``phenobert/utils/evaluate.py`` "Node Similarity
+    Way"; Pesquita et al. 2009 survey):
+
+        bm(a→b)  = mean over c in S(a) of  max_{c' in S(b)} resnik(c, c')
+        bma(a,b) = (bm(a→b) + bm(b→a)) / 2
+
+    where ``resnik(c, c') = IC(MICA)`` and a concept with NO common
+    ancestor on the other side contributes 0. Returns (d1, d2, bma)
+    for every requested pair of annotated docs; a pair whose docs
+    are BOTH unannotated drops out (no direction rows), and a
+    one-sided pair scores 0 — callers should draw pairs from the
+    annotated corpus, as the reference eval does (it only scores
+    annotated documents).
+
+    The naive form blows up as |S(a)| x |S(b)| concept pairs per doc
+    pair. This implementation never materializes concept pairs:
+
+        max_{c' in S(b)} resnik(c, c')
+          = max { IC(a) : a in ancestors(c) INTERSECT ancestors(S(b)) }
+
+    so the match side is the per-DOC distinct ancestor set (the same
+    (doc, anc) relation IC itself is computed from), joined on
+    (doc, ancestor) — corpus-bounded, never concept-pair-bounded.
+
+    Plan shape: closure and IC broadcast (ontology-sized); the only
+    shuffles are keyed on the REQUEST pair set and on (doc, anc) —
+    both linear in the input, no quadratic stage anywhere.
+    """
+    cl = F.broadcast(
+        closure.select(F.col(node_col).alias("_c"), F.col(anc_col).alias("_anc"))
+    )
+    ann = (
+        annotations.select(
+            F.col(doc_col).alias("_doc"), F.col(concept_col).alias("_c")
+        )
+        .distinct()
+    )
+    dst_anc_ic = (
+        ann.join(cl, on="_c")
+        .select(F.col("_doc").alias("_dst"), "_anc")
+        .distinct()
+        .join(
+            F.broadcast(ic.select(F.col("concept").alias("_anc"), "ic")),
+            on="_anc",
+        )
+        .select("_dst", "_anc", F.col("ic").alias("_ic"))
+    )
+    p = pairs.select(F.col(d1).alias("d1"), F.col(d2).alias("d2"))
+    dirs = p.select(
+        "d1", "d2", F.col("d1").alias("_src"), F.col("d2").alias("_dst")
+    ).unionByName(
+        p.select("d1", "d2", F.col("d2").alias("_src"), F.col("d1").alias("_dst"))
+    )
+    src_anc = dirs.join(
+        ann.withColumnRenamed("_doc", "_src"), on="_src"
+    ).join(cl, on="_c")
+    best = (
+        src_anc.join(dst_anc_ic, on=["_dst", "_anc"], how="left")
+        .groupBy("d1", "d2", "_src", "_c")
+        .agg(F.coalesce(F.max("_ic"), F.lit(0.0)).alias("_best"))
+    )
+    dir_mean = best.groupBy("d1", "d2", "_src").agg(F.avg("_best").alias("_bm"))
+    return dir_mean.groupBy("d1", "d2").agg(
+        (F.sum("_bm") / F.lit(2.0)).alias("bma")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

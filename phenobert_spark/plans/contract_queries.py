@@ -2335,6 +2335,67 @@ def q110(spark, sf_dir):
     ).orderBy("c1", "c2")
 
 
+@register(
+    "q173_doc_bma_similarity",
+    _TAXONOMY_SQL
+    + """
+    , docs AS (SELECT DISTINCT doc FROM ann WHERE doc % 601 = 0
+    ), p AS (
+      SELECT a.doc AS d1, b.doc AS d2 FROM docs a JOIN docs b ON a.doc < b.doc
+    ), dirs AS (
+      SELECT d1, d2, d1 AS src, d2 AS dst FROM p
+      UNION ALL
+      SELECT d1, d2, d2 AS src, d1 AS dst FROM p
+    ), src_anc AS (
+      SELECT r.d1, r.d2, r.src, r.dst, a.concept AS c, cs.anc
+      FROM dirs r
+      JOIN ann a ON a.doc = r.src
+      JOIN closure_self cs ON cs.node = a.concept
+    ), matched AS (
+      SELECT s.d1, s.d2, s.src, s.c, m.ic
+      FROM src_anc s
+      LEFT JOIN (
+        SELECT da.doc, da.anc, i.ic FROM doc_anc da JOIN ic i ON i.concept = da.anc
+      ) m ON m.doc = s.dst AND m.anc = s.anc
+    ), best AS (
+      SELECT d1, d2, src, c, COALESCE(MAX(ic), 0) AS best
+      FROM matched GROUP BY d1, d2, src, c
+    ), dirm AS (
+      SELECT d1, d2, src, AVG(best) AS bm FROM best GROUP BY d1, d2, src
+    )
+    SELECT d1, d2, ROUND(SUM(bm) / 2, 6) AS bma
+    FROM dirm GROUP BY d1, d2 ORDER BY d1, d2
+    """,
+)
+def q173(spark, sf_dir):
+    """Best-match-average semantic DOC similarity over the ontology
+    (operators/kg_metrics.bma_doc_similarity) — the distributed,
+    exact-oracle twin of the reference's DAG-aware set scorer
+    (reference phenobert/utils/evaluate.py "Node Similarity Way",
+    until now covered only by the grouped-pandas A4/A5 path): every
+    1-in-601 order is a "patient document" annotated with its supplier
+    concepts; all pairs of sampled docs get
+    (mean-of-best-match resnik both directions)/2. The concept-pair
+    blow-up is avoided by matching each concept's ancestor set against
+    the OTHER doc's distinct (doc, anc) relation."""
+    from ..operators.kg_metrics import (
+        bma_doc_similarity,
+        concept_information_content,
+    )
+
+    closure, ann = _taxonomy_and_annotations(spark, sf_dir)
+    ic = concept_information_content(ann, closure)
+    docs = ann.filter(F.col("doc_id") % 601 == 0).select("doc_id").distinct()
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+    )
+    out = bma_doc_similarity(pairs, ann, closure, ic)
+    return out.select(
+        "d1", "d2", F.round("bma", 6).alias("bma")
+    ).orderBy("d1", "d2")
+
+
 _IDOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::BIGINT * x[2]::BIGINT))"
 
 

@@ -82,6 +82,47 @@ def test_mica_similarity_hand_computed(spark, dag):
     assert got[("d", "e")] == ("root", 0.0, 0.0)
 
 
+def test_bma_doc_similarity_hand_computed(spark, dag):
+    """BMA over the tiny DAG, every value hand-derived.
+
+    S(1)={c} S(2)={c} S(3)={d} S(4)={e,c}; ic(c)=-ln(3/4),
+    ic(d)=ic(e)=ln4, resnik(c,c)=ic(c), any cross-leaf pair's MICA is
+    a zero-IC internal node.
+    """
+    from phenobert_spark.operators.kg_metrics import bma_doc_similarity
+
+    closure, ann = dag
+    ic = concept_information_content(ann, closure)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4), (1, 4)], "d1 int, d2 int"
+    )
+    got = {
+        (r.d1, r.d2): r.bma
+        for r in bma_doc_similarity(pairs, ann, closure, ic).collect()
+    }
+    icc = -math.log(3 / 4)
+    # identical singleton sets -> bma = resnik(c,c) = ic(c)
+    assert got[(1, 2)] == pytest.approx(icc, abs=1e-12)
+    # disjoint subtrees, zero-IC common ancestors -> 0 both directions
+    assert got[(1, 3)] == 0.0
+    assert got[(3, 4)] == 0.0
+    # (1,4): bm(1->4) = resnik(c,c) = ic(c);
+    # bm(4->1) = mean(best(e->{c})=0, best(c->{c})=ic(c)) = ic(c)/2
+    assert got[(1, 4)] == pytest.approx((icc + icc / 2) / 2, abs=1e-12)
+
+
+def test_bma_doc_similarity_one_sided_and_empty_pairs(spark, dag):
+    """A pair with one unannotated doc scores 0 (nothing to match);
+    a pair with BOTH docs unannotated produces no row at all."""
+    from phenobert_spark.operators.kg_metrics import bma_doc_similarity
+
+    closure, ann = dag
+    ic = concept_information_content(ann, closure)
+    pairs = spark.createDataFrame([(1, 9), (8, 9)], "d1 int, d2 int")
+    rows = bma_doc_similarity(pairs, ann, closure, ic).collect()
+    assert {(r.d1, r.d2): r.bma for r in rows} == {(1, 9): 0.0}
+
+
 def test_mica_lin_null_when_both_ics_zero(spark):
     """Degenerate pair (root, a) when both cover the corpus: lin is
     NULL (0/0), not a crash or a fabricated 1.0."""
