@@ -6225,6 +6225,89 @@ def q172(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "q174_license_rollup",
+    r"""
+    WITH fixture AS (
+      SELECT source AS repo,
+             CASE (doc_id % 5)
+               WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person. '
+               WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 (the License). '
+               WHEN 2 THEN 'This file is part of a GNU General Public License distribution. '
+               WHEN 3 THEN 'Redistribution and use in source and binary forms permitted. '
+               ELSE ''
+             END || text AS content
+      FROM documents
+    ), classified AS (
+      SELECT repo,
+             CASE
+               WHEN contains(lower(content),
+                    'permission is hereby granted, free of charge') THEN 'MIT'
+               WHEN contains(lower(content),
+                    'licensed under the apache license, version 2.0') THEN 'Apache-2.0'
+               WHEN contains(lower(content),
+                    'gnu general public license') THEN 'GPL-3.0'
+               WHEN contains(lower(content),
+                    'redistribution and use in source and binary forms') THEN 'BSD-3-Clause'
+               ELSE 'unknown'
+             END AS license
+      FROM fixture
+    )
+    SELECT repo, license, COUNT(*)::BIGINT AS n_files,
+           license IN ('Apache-2.0', 'BSD-3-Clause', 'MIT') AS is_permissive
+    FROM classified
+    GROUP BY repo, license
+    ORDER BY repo, license
+    """,
+)
+def q174(spark, sf_dir):
+    """License detection + per-repo audit rollup (operators/license
+    .license_rollup) — the first gate a source-code training corpus
+    applies (The Stack: keep permissive licenses only). The synthetic
+    corpus carries no license headers, so the query prepends a
+    deterministic doc_id-derived SPDX-canonical marker (doc_id%5:
+    MIT / Apache-2.0 / GPL-3.0 / BSD-3-Clause / none) to BOTH
+    engines' inputs — the oracle checks the classification-priority
+    and rollup SEMANTICS, not the fixture. Detection is map-only
+    phrase matching (no UDF, no regex divergence risk); the rollup
+    shuffles only (repo, license)."""
+    from ..operators.license import license_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    header = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("Permission is hereby granted, free of charge, to any person. "),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit("Licensed under the Apache License, Version 2.0 (the License). "),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit(
+                "This file is part of a GNU General Public License distribution. "
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.lit("Redistribution and use in source and binary forms permitted. "),
+        )
+        .otherwise(F.lit(""))
+    )
+    fixture = d.select(
+        F.col("source").alias("repo"),
+        F.concat(header, F.col("text")).alias("content"),
+    )
+    out = license_rollup(fixture)
+    return out.select(
+        "repo",
+        "license",
+        F.col("n_files").cast("long").alias("n_files"),
+        "is_permissive",
+    ).orderBy("repo", "license")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
