@@ -183,6 +183,36 @@ def transitive_reduction(
     return e.join(two_hop, ["child", "parent"], "left_anti")
 
 
+def cyclic_nodes(
+    edges: DataFrame, closure: DataFrame | None = None, max_iters: int = 30
+) -> DataFrame:
+    """edges(child, parent) -> (node) for every node on a directed
+    cycle — the ontology-quality gate a KG build runs BEFORE trusting
+    any closure-derived semantics. Every ancestor-closure consumer
+    here (IC, MICA, BMA, canonicalization, subtree filters) assumes a
+    DAG; at 10^12-file scale the extracted is-a edge set WILL contain
+    bad back-edges, and :func:`transitive_closure` on a cyclic input
+    still terminates (the semi-naive frontier saturates — the pair
+    space is finite and the left-anti guard admits each pair once)
+    but silently yields self-ancestor pairs that corrupt downstream
+    dedup and similarity. This gate makes the failure explicit: a
+    node lies on a cycle iff the saturated closure contains
+    (node, node).
+
+    Scale shape: inherits transitive_closure's iterated broadcast-or-
+    hash joins; the final filter is a narrow predicate on the closure
+    — no extra shuffle beyond the closure itself, which the caller
+    usually needs anyway (pass it via ``closure=`` to share the plan).
+    """
+    if closure is None:
+        closure = transitive_closure(edges, max_iters=max_iters)
+    return (
+        closure.filter(F.col("node") == F.col("anc"))
+        .select("node")
+        .distinct()
+    )
+
+
 def star_components(
     star_edges: DataFrame,
     nodes: DataFrame | None = None,

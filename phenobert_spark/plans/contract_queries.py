@@ -6308,6 +6308,63 @@ def q174(spark, sf_dir):
     ).orderBy("repo", "license")
 
 
+@register(
+    "q175_cycle_detection",
+    r"""
+    WITH RECURSIVE base AS (
+      SELECT 'N' || n_nationkey AS child, 'R' || n_regionkey AS parent
+      FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'R' || n.n_regionkey, 'S' || s.s_suppkey
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey % 7 = 0
+    ), closure AS (
+      SELECT child AS node, parent AS anc FROM base
+      UNION
+      SELECT c.node, b.parent FROM closure c JOIN base b ON c.anc = b.child
+    )
+    SELECT DISTINCT node FROM closure WHERE node = anc ORDER BY node
+    """,
+)
+def q175(spark, sf_dir):
+    """Ontology cycle detection (operators/closure.cyclic_nodes) —
+    the DAG-validity gate every closure consumer (IC, MICA, BMA,
+    canonicalization) needs before trusting ancestor semantics. The
+    clean supplier->nation->region taxonomy gets deterministic bad
+    back-edges injected (region -> supplier for s_suppkey % 7 == 0,
+    modeling the shortcut/reversed is-a edges relation extractors
+    emit at corpus scale), and the gate reports every node on a
+    resulting S->N->R->S cycle. The oracle saturates the same closure
+    with a recursive CTE and applies the same self-pair test."""
+    from ..operators.closure import cyclic_nodes
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("child"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("parent"),
+            )
+        )
+        .unionByName(
+            s.filter(F.col("s_suppkey") % 7 == 0)
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .select(
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("child"),
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("parent"),
+            )
+        )
+    )
+    return cyclic_nodes(edges).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

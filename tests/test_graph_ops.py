@@ -135,3 +135,43 @@ def test_transitive_reduction_keeps_diamond_sides(spark):
     edges = spark.createDataFrame(edges_l, "child string, parent string")
     out = {(r.child, r.parent) for r in transitive_reduction(edges).collect()}
     assert out == set(edges_l)
+
+
+def test_cyclic_nodes_finds_exactly_the_cycle_members(spark):
+    from phenobert_spark.operators.closure import cyclic_nodes
+
+    # a -> b -> c -> a (cycle) ; d -> a (on-ramp, NOT on the cycle) ;
+    # e -> f (clean chain)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "f")],
+        "child string, parent string",
+    )
+    got = {r.node for r in cyclic_nodes(edges).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_cyclic_nodes_empty_on_dag_and_self_loop(spark):
+    from phenobert_spark.operators.closure import cyclic_nodes
+
+    dag = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "child string, parent string"
+    )
+    assert cyclic_nodes(dag).count() == 0
+    loop = spark.createDataFrame(
+        [("x", "x"), ("x", "y")], "child string, parent string"
+    )
+    assert {r.node for r in cyclic_nodes(loop).collect()} == {"x"}
+
+
+def test_cyclic_nodes_accepts_precomputed_closure(spark):
+    from phenobert_spark.operators.closure import (
+        cyclic_nodes,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "child string, parent string"
+    )
+    cl = transitive_closure(edges)
+    got = {r.node for r in cyclic_nodes(edges, closure=cl).collect()}
+    assert got == {"a", "b"}
