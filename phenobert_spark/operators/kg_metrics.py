@@ -1117,3 +1117,114 @@ def effective_diameter(hb: DataFrame, quantile: float = 0.9) -> float:
             return prev_r + (target - prev_n) / (n - prev_n) * (r - prev_r)
         prev_r, prev_n = r, n
     return float(nf[-1][0])
+
+
+def harmonic_centrality(hb: DataFrame) -> DataFrame:
+    """Harmonic centrality estimated from :func:`hyperball` counters
+    (Boldi & Vigna 2014, "Axioms for centrality": HyperBall's headline
+    per-node statistic): H(u) = sum over reachable v != u of
+    1/d(u, v), rewritten radius-wise as
+    sum_{r>=1} (|ball(u, r)| - |ball(u, r-1)|) / r — each shell of
+    newly reached nodes contributes at weight 1/r.
+
+    Exact harmonic centrality needs all-pairs distances (n BFS runs);
+    this is the sketch form every web-scale graph system actually
+    ships. Input is the (node, radius, est) table hyperball already
+    produced, so the whole operator is one window lag + one keyed
+    aggregate over n*(R+1) rows — no further graph traversal. Because
+    hyperball's registers are md5-derived (q120 property), the
+    ESTIMATES themselves are deterministic and cross-engine exact,
+    which is what lets the q176 contract oracle recompute them in SQL.
+
+    Returns (node, harmonic) with harmonic rounded to 4 decimals.
+    """
+    w = Window.partitionBy("node").orderBy("radius")
+    shells = hb.select(
+        "node",
+        "radius",
+        (F.col("est") - F.lag("est").over(w)).alias("shell"),
+    ).filter(F.col("radius") >= 1)
+    return (
+        shells.groupBy("node")
+        .agg(F.round(F.sum(F.col("shell") / F.col("radius")), 4).alias("harmonic"))
+        .orderBy("node")
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity decomposed per community (Newman & Girvan
+    2004): for an undirected graph with m edges, community c
+    contributes  Q_c = L_c / m - (D_c / 2m)^2  where L_c is the edge
+    count inside c and D_c the sum of member degrees; Q = sum Q_c.
+    This is THE quality gate for the label-propagation communities
+    (:func:`label_propagation` / q127) — a partition whose Q is ~0 is
+    no better than random, and at 10^12-file scale nobody eyeballs
+    clusters.
+
+    Plan shape: edges are canonicalized once (u < v, distinct); the
+    community map joins onto each endpoint (two hash joins keyed on
+    the node — the same key space the partition itself lives in);
+    both aggregates (within-edges per community, degree mass per
+    community) are map-side combinable with community-bounded
+    cardinality. No per-row Python, no self-join, nothing quadratic:
+    cost is O(m) rows through two joins regardless of community
+    sizes — hub communities concentrate into ONE combiner key, the
+    classic aggregate shape.
+
+    Returns (community, within_edges, degree_sum, contribution)
+    with contribution rounded to 6 decimals.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("u"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    com = communities.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.col(community_col).cast("string").alias("community"),
+    )
+    m = e.count()
+    if m == 0:
+        raise ValueError("modularity needs at least one edge")
+    labeled = (
+        e.join(com.select(F.col("node").alias("u"), F.col("community").alias("cu")), "u")
+        .join(com.select(F.col("node").alias("v"), F.col("community").alias("cv")), "v")
+    )
+    within = (
+        labeled.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("within_edges"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .join(com, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("degree_sum"))
+    )
+    return (
+        deg.join(within, "community", "left")
+        .select(
+            "community",
+            F.coalesce("within_edges", F.lit(0)).cast("bigint").alias("within_edges"),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            F.round(
+                F.coalesce("within_edges", F.lit(0)) / F.lit(float(m))
+                - F.pow(F.col("degree_sum") / F.lit(2.0 * m), F.lit(2.0)),
+                6,
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )

@@ -637,3 +637,119 @@ def dbscan_cosine(
             F.coalesce("cluster", "_bcluster").alias("cluster"),
         )
     )
+
+
+GRAM_SCHEMA = StructType(
+    [
+        StructField("i", LongType(), False),
+        StructField("j", LongType(), False),
+        StructField("g", DoubleType(), False),
+    ]
+)
+
+
+def gram_matrix(
+    embs: DataFrame, feat_col: str = "embedding"
+) -> DataFrame:
+    """Distributed Gram matrix G = X^T X over an ``array<float>``
+    column — the building block of exact distributed PCA / covariance
+    (the classic "tall-and-skinny" decomposition: for n rows x d dims
+    with d small, X^T X is d x d; eigendecompose THAT driver-side and
+    the principal components of 10^12 rows cost one pass and a
+    d^2-sized reduce). This is how every large-scale PCA actually
+    runs — never materialize n x n.
+
+    Plan shape: one ``mapInPandas`` pass computes a PARTIAL d x d gram
+    per Arrow batch with a single BLAS ``X.T @ X`` (no per-row
+    Python), emitted as (i, j, partial) rows for the upper triangle
+    only; the final groupBy(i, j).sum is map-side combinable and its
+    shuffle is partitions x d(d+1)/2 rows — independent of n. The
+    relational twin (explode + self-join on the row key, the q178
+    oracle's shape) is O(n * d^2) shuffled rows and exists only as
+    the correctness oracle.
+
+    Returns (i, j, g) for 0 <= i <= j < d, rounded to 4 decimals.
+    """
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.stack(b[feat_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int64), "j": ju.astype(np.int64), "g": acc[iu, ju]}
+            )
+
+    partials = embs.select(feat_col).mapInPandas(partial_gram, schema=GRAM_SCHEMA)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("g"), 4).alias("g"))
+        .orderBy("i", "j")
+    )
+
+
+def pca_components(gram: DataFrame, n_rows: int, k: int = 8) -> "np.ndarray":
+    """Top-k principal directions from a :func:`gram_matrix` result:
+    collect the d x d upper triangle (d^2 values — driver-side small
+    by construction, NEVER corpus-sized), mirror it, eigendecompose
+    with numpy. Uncentered PCA (classic SVD-of-gram); callers wanting
+    covariance PCA subtract the column means from X upstream (one
+    extra narrow pass). Returns the (d, k) eigenvector matrix,
+    eigenvalue-descending, sign-canonicalized (largest-|.| coordinate
+    positive) so the projection is deterministic across runs and
+    platforms.
+    """
+    rows = gram.collect()
+    d = max(r.j for r in rows) + 1
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+    vals, vecs = np.linalg.eigh(g / max(n_rows, 1))
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]
+    for c in range(w.shape[1]):
+        a = np.argmax(np.abs(w[:, c]))
+        if w[a, c] < 0:
+            w[:, c] = -w[:, c]
+    return w
+
+
+def project_embeddings(
+    embs: DataFrame,
+    components: "np.ndarray",
+    id_col: str = "vec_id",
+    feat_col: str = "embedding",
+) -> DataFrame:
+    """Project an embedding column onto precomputed principal
+    directions: broadcast the (d, k) matrix inside a ``mapInPandas``
+    kernel (one matmul per Arrow batch), return
+    (id, projection array<double>). Narrow — zero shuffles; the
+    dimensionality-reduced vectors feed the ANN/dedup family at k/d
+    of the wire cost."""
+    from pyspark.sql.types import ArrayType
+
+    w = components
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("projection", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.stack(b[feat_col].to_numpy()).astype(np.float64)
+            p = x @ w
+            yield pd.DataFrame(
+                {id_col: b[id_col].to_numpy(), "projection": list(p)}
+            )
+
+    return embs.select(id_col, feat_col).mapInPandas(proj, schema=out_schema)

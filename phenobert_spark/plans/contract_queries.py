@@ -26,6 +26,9 @@ Coverage map (operator ids from SURVEY.md §2):
   embedding dedup clustering q126 (LSH pairs -> components)
   q133 (cosine DBSCAN)  retrieval q130 (BM25), q131 (RRF fusion)
   text stats q132 (PMI collocations)  monitoring q134 (rolling z-score)
+  centrality q176 (HyperBall harmonic)  community quality q177
+  (Newman modularity)  distributed PCA q178 (gram matrix)
+  skew diagnostics q179 (heavy-key profile)
 """
 
 from __future__ import annotations
@@ -5945,9 +5948,12 @@ def q168(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register(
-    "q169_hyperball",
-    """
+# Shared by q169 (neighborhood function) and q176 (harmonic
+# centrality): the full HyperBall register pipeline in SQL — true
+# reachable balls for r = 0..3 by unrolled joins, sketched with
+# arithmetic identical to operators/sketches.py (md5-derived
+# registers, p=9, HLL bias correction + linear counting).
+_HYPERBALL_CTE = """
     WITH edges0 AS (
       SELECT 'N' || n_nationkey AS u, 'R' || n_regionkey AS v FROM nation
       UNION ALL
@@ -6005,12 +6011,23 @@ def q168(spark, sf_dir):
                * 512.0::DOUBLE * 512.0::DOUBLE
                / (inv_present + (512 - n_buckets)::DOUBLE) AS raw
       FROM agg
+    ), hb AS (
+      SELECT node, radius, n_buckets,
+             CASE WHEN raw <= 1280.0::DOUBLE AND n_zero > 0
+                  THEN 512.0::DOUBLE * ln(512.0::DOUBLE / n_zero)
+                  ELSE raw END AS est
+      FROM est
     )
+"""
+
+
+@register(
+    "q169_hyperball",
+    f"""
+    {_HYPERBALL_CTE}
     SELECT node, radius::INT AS radius, n_buckets::BIGINT AS n_buckets,
-           ROUND(CASE WHEN raw <= 1280.0::DOUBLE AND n_zero > 0
-                      THEN 512.0::DOUBLE * ln(512.0::DOUBLE / n_zero)
-                      ELSE raw END, 4) AS est
-    FROM est
+           ROUND(est, 4) AS est
+    FROM hb
     ORDER BY radius, node
     """,
 )
@@ -6363,6 +6380,191 @@ def q175(spark, sf_dir):
         )
     )
     return cyclic_nodes(edges).orderBy("node")
+
+
+@register(
+    "q176_harmonic_centrality",
+    f"""
+    {_HYPERBALL_CTE}
+    , shells AS (
+      SELECT node, radius,
+             est - LAG(est) OVER (PARTITION BY node ORDER BY radius)
+               AS shell
+      FROM hb
+    )
+    SELECT node, ROUND(SUM(shell / radius), 4) AS harmonic
+    FROM shells WHERE radius >= 1
+    GROUP BY node ORDER BY node
+    """,
+)
+def q176(spark, sf_dir):
+    """Harmonic centrality from HyperBall counters (operators/
+    kg_metrics.harmonic_centrality; Boldi & Vigna 2014): per node,
+    sum over radius shells of (newly reached mass)/r — the sketch
+    form of 1/distance centrality that web-scale graph systems ship
+    instead of n BFS runs. Reuses q169's graph and register
+    arithmetic (md5-derived, cross-engine exact), so the oracle can
+    rebuild the identical estimates in SQL and differentiate them
+    with one window lag."""
+    from ..operators.kg_metrics import harmonic_centrality, hyperball
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    return harmonic_centrality(hyperball(edges, radius=3, p=9, directed=False))
+
+
+@register(
+    "q177_modularity",
+    """
+    WITH edges0 AS (
+      SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM edges0 WHERE a <> b
+    ), com AS (
+      SELECT 'N' || n_nationkey AS node, 'R' || n_regionkey AS community
+      FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'R' || n_regionkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'R' || r_regionkey, 'R' || r_regionkey FROM region
+    ), m AS (SELECT COUNT(*) AS m FROM e),
+    within AS (
+      SELECT cu.community, COUNT(*) AS within_edges
+      FROM e
+      JOIN com cu ON cu.node = e.u
+      JOIN com cv ON cv.node = e.v
+      WHERE cu.community = cv.community
+      GROUP BY 1
+    ), deg AS (
+      SELECT com.community, COUNT(*) AS degree_sum
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) d
+      JOIN com ON com.node = d.node
+      GROUP BY 1
+    )
+    SELECT deg.community,
+           COALESCE(within_edges, 0)::BIGINT AS within_edges,
+           degree_sum::BIGINT AS degree_sum,
+           ROUND(COALESCE(within_edges, 0) / m::DOUBLE
+                 - POW(degree_sum / (2.0 * m), 2), 6) AS contribution
+    FROM deg LEFT JOIN within ON within.community = deg.community, m
+    ORDER BY deg.community
+    """,
+)
+def q177(spark, sf_dir):
+    """Newman modularity per community (operators/kg_metrics.
+    modularity) of the region partition over the undirected
+    supplier-nation-region graph — the quality gate for q127's
+    label-propagation output: within-community edge share minus the
+    degree-null-model expectation, decomposed per community. Two
+    node-keyed hash joins + two combinable aggregates; nothing
+    quadratic."""
+    from ..operators.kg_metrics import modularity
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    r = _t(spark, sf_dir, "region")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    communities = (
+        n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("node"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("community"),
+        )
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("node"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("community"),
+            )
+        )
+        .unionByName(
+            r.select(
+                F.concat(F.lit("R"), F.col("r_regionkey")).alias("node"),
+                F.concat(F.lit("R"), F.col("r_regionkey")).alias("community"),
+            )
+        )
+    )
+    return modularity(edges, communities)
+
+
+@register(
+    "q178_gram_matrix",
+    """
+    WITH x AS (
+      SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    )
+    SELECT a.i::BIGINT AS i, b.i::BIGINT AS j, ROUND(SUM(a.v * b.v), 4) AS g
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q178(spark, sf_dir):
+    """Distributed Gram matrix X^T X (operators/similarity.
+    gram_matrix) — the tall-and-skinny PCA/covariance building block:
+    one mapInPandas pass emits a PARTIAL d x d gram per Arrow batch
+    (single BLAS matmul, upper triangle only), the final (i, j) sum
+    is map-side combinable and shuffles partitions x d(d+1)/2 rows —
+    independent of corpus size. The oracle is the relational twin
+    (explode + self-join on the row key), which shuffles O(n * d^2)
+    rows and exists only at test scale."""
+    from ..operators.similarity import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q179_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ), total AS (SELECT COUNT(*) AS t FROM orders),
+    top AS (
+      SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT 20
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+           key, cnt,
+           CAST(FLOOR(cnt * 1000000 / t) AS BIGINT) AS share_ppm,
+           CAST(FLOOR(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC)
+                      * 1000000 / t) AS BIGINT) AS cum_share_ppm
+    FROM top, total
+    ORDER BY rank
+    """,
+)
+def q179(spark, sf_dir):
+    """Shuffle-key skew profile (operators/diagnostics.
+    key_skew_profile): heavy-hitter keys with cumulative row share in
+    ppm — the measurement a salting decision consumes before a
+    100-TB join ships. One combinable count aggregate + a
+    TakeOrdered top-N; the cumulative window runs over only the N
+    retained rows. floor()-based integer shares keep the contract
+    cross-engine exact (double->int CAST truncates on Spark but
+    rounds on DuckDB)."""
+    from ..operators.diagnostics import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "orders"), ["o_custkey"], top_n=20)
 
 
 # ---------------------------------------------------------------------------

@@ -789,3 +789,79 @@ def test_effective_diameter_path_graph(spark):
     assert effective_diameter(hb, quantile=0.01) == 0.0
     with pytest.raises(ValueError):
         effective_diameter(hb, quantile=0.0)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from phenobert_spark.operators.kg_metrics import (
+        harmonic_centrality,
+        hyperball,
+    )
+
+    # path a-b-c-d-e, radius covers the full diameter; exact harmonic:
+    # center c: 2*(1 + 1/2) = 3.0; b and d: 1+1+1/2+1/3 = 17/6;
+    # ends a, e: 1 + 1/2 + 1/3 + 1/4 = 25/12. HLL at p=9 on <=5-node
+    # balls is linear-counting exact up to ~0.3% (m*ln(m/(m-1)) per
+    # element), so a 5% band is generous.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    hb = hyperball(
+        spark.createDataFrame(edges, "src string, dst string"),
+        radius=4, p=9,
+    )
+    h = {r.node: r.harmonic for r in harmonic_centrality(hb).collect()}
+    exact = {"a": 25 / 12, "b": 17 / 6, "c": 3.0, "d": 17 / 6, "e": 25 / 12}
+    for node, val in exact.items():
+        assert abs(h[node] - val) / val < 0.05, (node, h[node], val)
+    # the center is strictly most central under any tolerance here
+    assert h["c"] == max(h.values())
+
+
+def test_modularity_two_cliques(spark):
+    from phenobert_spark.operators.kg_metrics import modularity
+
+    # two triangles joined by one bridge: the textbook partition.
+    # m = 7; communities A={a,b,c}, B={d,e,f};
+    # L_A = L_B = 3, D_A = D_B = 7 -> Q_c = 3/7 - (7/14)^2 = 0.178571
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("d", "e"), ("e", "f"), ("d", "f"),
+        ("c", "d"),
+    ]
+    com = [(n, "A") for n in "abc"] + [(n, "B") for n in "def"]
+    out = modularity(
+        spark.createDataFrame(edges, "src string, dst string"),
+        spark.createDataFrame(com, "node string, community string"),
+    ).collect()
+    rows = {r.community: r for r in out}
+    for c in "AB":
+        assert rows[c].within_edges == 3
+        assert rows[c].degree_sum == 7
+        assert abs(rows[c].contribution - (3 / 7 - 0.25)) < 1e-6
+    # total modularity of the intuitive partition is positive
+    assert sum(r.contribution for r in out) > 0.3
+
+
+def test_modularity_ignores_direction_and_duplicates(spark):
+    from phenobert_spark.operators.kg_metrics import modularity
+
+    # both directions + a self-loop collapse to ONE undirected edge
+    edges = [("a", "b"), ("b", "a"), ("a", "a")]
+    com = [("a", "X"), ("b", "X")]
+    out = modularity(
+        spark.createDataFrame(edges, "src string, dst string"),
+        spark.createDataFrame(com, "node string, community string"),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # single edge fully inside X: Q = 1/1 - (2/2)^2 = 0
+    assert r.within_edges == 1 and r.degree_sum == 2
+    assert abs(r.contribution) < 1e-9
+
+
+def test_modularity_empty_edges_raises(spark):
+    from phenobert_spark.operators.kg_metrics import modularity
+
+    with pytest.raises(ValueError):
+        modularity(
+            spark.createDataFrame([], "src string, dst string"),
+            spark.createDataFrame([("a", "X")], "node string, community string"),
+        )
