@@ -1228,3 +1228,107 @@ def modularity(
         )
         .orderBy("community")
     )
+
+
+def refine_communities(
+    edges: DataFrame,
+    communities: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One synchronous round of Louvain phase-1 refinement (Blondel
+    et al. 2008, in the parallel form every distributed Louvain uses):
+    each node evaluates moving into each NEIGHBORING community c and
+    takes the modularity gain
+
+        dQ(u -> c) = k_{u,c}/m  -  k_u * (D_c - [c = cur] * k_u) / (2 m^2)
+
+    (k_{u,c} = edges from u into c; D_c = community degree mass with
+    u's own degree removed when c is u's current community, so "stay"
+    is scored by the same formula). The argmax community wins;
+    ties break toward the smaller community id so the synchronous
+    sweep is deterministic — classic Louvain is inherently
+    sequential, so one PARALLEL sweep is the honest distributed unit;
+    iterate to taste and gate each round with :func:`modularity`.
+
+    Plan shape: degrees, community masses and (u, c) edge weights are
+    all combinable keyed aggregates off the symmetrized edge list;
+    the candidate set per node is its neighboring communities plus
+    "stay" (a union + left join, node-keyed); argmax is one window
+    over per-node candidate rows, partitioned on the node — bounded
+    by degree, never corpus-wide. No collect except the edge count.
+
+    Returns (node, community_old, community_new, gain) with gain
+    rounded to 9 decimals (the argmax ranks on the rounded value, so
+    the choice is reproducible across engines and platforms).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("u"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = e.count()
+    if m == 0:
+        raise ValueError("refine_communities needs at least one edge")
+    com = communities.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.col(community_col).cast("string").alias("community"),
+    )
+    adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("k"))
+    dcom = (
+        deg.join(com, "node")
+        .groupBy("community")
+        .agg(F.sum("k").alias("d_c"))
+    )
+    # k_{u,c}: edge mass from each node into each neighboring community
+    kuc = (
+        adj.join(
+            com.select(F.col("node").alias("v"), F.col("community").alias("c")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"), "c")
+        .agg(F.count("*").alias("k_uc"))
+    )
+    cur = com.select("node", F.col("community").alias("cur"))
+    # candidates = neighboring communities UNION the current one (stay
+    # must be scored even when u has no intra-community edge)
+    cand = (
+        kuc.unionByName(
+            cur.select("node", F.col("cur").alias("c"), F.lit(0).alias("k_uc"))
+        )
+        .groupBy("node", "c")
+        .agg(F.max("k_uc").alias("k_uc"))
+    )
+    scored = (
+        cand.join(cur, "node")
+        .join(deg, "node")
+        .join(dcom.select(F.col("community").alias("c"), "d_c"), "c")
+        .select(
+            "node",
+            F.col("cur").alias("community_old"),
+            "c",
+            F.round(
+                F.col("k_uc") / F.lit(float(m))
+                - F.col("k")
+                * (
+                    F.col("d_c")
+                    - F.when(F.col("c") == F.col("cur"), F.col("k")).otherwise(0)
+                )
+                / F.lit(2.0 * m * m),
+                9,
+            ).alias("gain"),
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.col("gain").desc(), F.col("c").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", "community_old", F.col("c").alias("community_new"), "gain")
+        .orderBy("node")
+    )

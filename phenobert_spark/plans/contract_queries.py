@@ -29,6 +29,7 @@ Coverage map (operator ids from SURVEY.md §2):
   centrality q176 (HyperBall harmonic)  community quality q177
   (Newman modularity)  distributed PCA q178 (gram matrix)
   skew diagnostics q179 (heavy-key profile)
+  sorted-neighborhood ER q180  Louvain refinement q181
 """
 
 from __future__ import annotations
@@ -6565,6 +6566,120 @@ def q179(spark, sf_dir):
     from ..operators.diagnostics import key_skew_profile
 
     return key_skew_profile(_t(spark, sf_dir, "orders"), ["o_custkey"], top_n=20)
+
+
+@register(
+    "q180_sorted_neighborhood",
+    """
+    WITH ranked AS (
+      SELECT p_partkey AS id, p_name AS name,
+             ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rank
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.name, b.name)::BIGINT AS edit_dist,
+           ROUND(1.0 - levenshtein(a.name, b.name)::DOUBLE
+                 / greatest(length(a.name), length(b.name)), 6) AS sim
+    FROM ranked a JOIN ranked b
+      ON b.rank > a.rank AND b.rank - a.rank < 5
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q180(spark, sf_dir):
+    """Sorted-neighborhood ER candidate generation (operators/
+    entity_resolution.sorted_neighborhood_matches; Hernandez & Stolfo
+    1995) over part names: global sort key order, pair every record
+    with its 4 successors, keep pairs within edit distance 2 — the
+    blocking-key-free complement to q147's blocked matcher. The Spark
+    plan builds the global rank as range-repartition + partition-local
+    row_number + broadcast prefix-sum offsets (no single-reducer
+    window) and pairs via an EQUI-join on floor(rank/window) buckets;
+    the oracle is the theta-join twin, legitimate only at test
+    scale."""
+    from ..operators.entity_resolution import sorted_neighborhood_matches
+
+    return sorted_neighborhood_matches(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        window=5,
+        max_edit=2,
+    )
+
+
+@register(
+    "q181_louvain_refine",
+    """
+    WITH edges0 AS (
+      SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation
+      UNION ALL
+      SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM edges0 WHERE a <> b
+    ), m AS (SELECT COUNT(*)::BIGINT AS m FROM e),
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, COUNT(*)::BIGINT AS k FROM adj GROUP BY 1),
+    kuc AS (
+      SELECT u AS node, v AS c, COUNT(*)::BIGINT AS k_uc
+      FROM adj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT node, c, MAX(k_uc) AS k_uc FROM (
+        SELECT node, c, k_uc FROM kuc
+        UNION ALL
+        SELECT node, node AS c, 0 FROM deg
+      ) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cand.node, cand.node AS community_old, cand.c,
+             ROUND(cand.k_uc / m.m::DOUBLE
+                   - deg.k * (dc.k - CASE WHEN cand.c = cand.node
+                                          THEN deg.k ELSE 0 END)
+                     / (2.0 * m.m * m.m), 9) AS gain
+      FROM cand
+      JOIN deg ON deg.node = cand.node
+      JOIN deg dc ON dc.node = cand.c, m
+    )
+    SELECT node, community_old, c AS community_new, gain
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY gain DESC, c ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY node
+    """,
+)
+def q181(spark, sf_dir):
+    """One synchronous Louvain phase-1 sweep (operators/kg_metrics.
+    refine_communities; Blondel et al. 2008) from the singleton
+    partition of the supplier-nation-region graph: each node takes
+    the neighboring community with the best modularity gain,
+    deterministic tie-break on community id. Pairs with q177 (the
+    modularity gate that scores the resulting partition). All inputs
+    are node-keyed combinable aggregates; the per-node argmax window
+    is bounded by degree. The oracle exploits the singleton init
+    (community mass == neighbor degree) to stay in plain SQL."""
+    from ..operators.kg_metrics import refine_communities
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    communities = nodes.select("node", F.col("node").alias("community"))
+    return refine_communities(edges, communities)
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,99 @@ def test_pool_evidence_clamps_certainty(spark):
     # 1.0 clamps to cap (< 1), negative clamps to 0; pooled < 1
     assert 0.999 < row.pooled < 1.0
     assert row.n_mentions == 2
+
+
+def _brute_snm(rows, window, max_edit):
+    """Python twin: global (name, id) sort, window pairing, edit filter."""
+
+    def lev(a, b):
+        # classic DP edit distance (insert/delete/substitute, cost 1)
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    s = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i, (ida, na) in enumerate(s):
+        for j in range(i + 1, min(i + window, len(s))):
+            idb, nb = s[j]
+            d = lev(na, nb)
+            if d <= max_edit:
+                out.add((ida, idb, d))
+    return out
+
+
+def test_sorted_neighborhood_matches_brute_force(spark):
+    from phenobert_spark.operators.entity_resolution import (
+        sorted_neighborhood_matches,
+    )
+
+    rows = [
+        (1, "alpha"),
+        (2, "alphq"),       # 1 edit from alpha
+        (3, "alpzq"),       # 1 edit from alphq, 2 from alpha
+        (4, "beta"),
+        (5, "betas"),
+        (6, "gamma"),
+        (7, "gamma"),       # exact dup, tie-broken by id
+        (8, "zzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in sorted_neighborhood_matches(
+            df, "id", "name", window=3, max_edit=2, n_partitions=3
+        ).collect()
+    }
+    assert got == _brute_snm(rows, window=3, max_edit=2)
+    # pairs outside the window must be absent even if similar: with
+    # window=2 only adjacent-in-sort pairs survive
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_matches(
+            df, "id", "name", window=2, max_edit=2, n_partitions=3
+        ).collect()
+    }
+    assert got2 == {(a, b) for a, b, _ in _brute_snm(rows, 2, 2)}
+    assert got2 < {(a, b) for a, b, _ in got}
+
+
+def test_sorted_neighborhood_rank_stable_across_partitionings(spark):
+    """The global rank (hence the pair set) must not depend on where
+    the range partitioner cuts."""
+    from phenobert_spark.operators.entity_resolution import (
+        sorted_neighborhood_matches,
+    )
+
+    rows = [(i, f"name{i % 7:03d}x{i:04d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    sets = []
+    for p in (1, 2, 8):
+        sets.append(
+            {
+                (r.id_a, r.id_b, r.edit_dist)
+                for r in sorted_neighborhood_matches(
+                    df, "id", "name", window=4, max_edit=3, n_partitions=p
+                ).collect()
+            }
+        )
+    assert sets[0] == sets[1] == sets[2] == _brute_snm(rows, 4, 3)
+
+
+def test_sorted_neighborhood_rejects_bad_window(spark):
+    from phenobert_spark.operators.entity_resolution import (
+        sorted_neighborhood_matches,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_matches(df, "id", "name", window=1)

@@ -865,3 +865,60 @@ def test_modularity_empty_edges_raises(spark):
             spark.createDataFrame([], "src string, dst string"),
             spark.createDataFrame([("a", "X")], "node string, community string"),
         )
+
+
+# two triangles a-b-c and d-e-f bridged by c-d
+_TRI2 = [
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("d", "e"), ("e", "f"), ("d", "f"),
+    ("c", "d"),
+]
+
+
+def test_refine_communities_singleton_start(spark):
+    """From the singleton partition every node takes its best
+    neighbor: gain(u->v) = 1/m - k_u*k_v/(2m^2), ties to smaller id."""
+    from phenobert_spark.operators.kg_metrics import refine_communities
+
+    edges = spark.createDataFrame(_TRI2, "src string, dst string")
+    nodes = sorted({x for e in _TRI2 for x in e})
+    com = spark.createDataFrame(
+        [(n, n) for n in nodes], "node string, community string"
+    )
+    out = {r.node: r for r in refine_communities(edges, com).collect()}
+    assert set(out) == set(nodes)
+    # a (deg 2): neighbors b (deg 2, gain 10/98) beats c (deg 3, 8/98)
+    assert out["a"].community_new == "b"
+    assert out["a"].gain == pytest.approx(round(10 / 98, 9), abs=1e-12)
+    # c (deg 3): a and b tie at 8/98 -> smaller community id wins
+    assert out["c"].community_new == "a"
+    assert out["c"].gain == pytest.approx(round(8 / 98, 9), abs=1e-12)
+    # every node's old community is itself and the move has gain > 0
+    assert all(r.community_old == r.node and r.gain > 0 for r in out.values())
+
+
+def test_refine_communities_stable_partition_stays(spark):
+    """With the natural two-clique partition, staying beats every
+    move for every node (one sweep is a fixed point)."""
+    from phenobert_spark.operators.kg_metrics import refine_communities
+
+    edges = spark.createDataFrame(_TRI2, "src string, dst string")
+    com = spark.createDataFrame(
+        [(n, "X") for n in "abc"] + [(n, "Y") for n in "def"],
+        "node string, community string",
+    )
+    out = refine_communities(edges, com).collect()
+    assert len(out) == 6
+    assert all(r.community_new == r.community_old for r in out)
+    # the bridge node c: stay gain = 2/7 - 3*(7-3)/98 = 16/98
+    c = next(r for r in out if r.node == "c")
+    assert c.gain == pytest.approx(round(16 / 98, 9), abs=1e-12)
+
+
+def test_refine_communities_empty_edges_raises(spark):
+    from phenobert_spark.operators.kg_metrics import refine_communities
+
+    e = spark.createDataFrame([], "src string, dst string")
+    c = spark.createDataFrame([("a", "a")], "node string, community string")
+    with pytest.raises(ValueError, match="edge"):
+        refine_communities(e, c)
