@@ -1332,3 +1332,129 @@ def refine_communities(
         .select("node", "community_old", F.col("c").alias("community_new"), "gain")
         .orderBy("node")
     )
+
+
+def edge_triangle_support(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-EDGE triangle support over an undirected graph: for every
+    distinct edge (u, v) with u < v, the number of triangles that
+    contain it — the quantity k-truss peeling and cohesive-subgraph
+    mining consume (an edge in a k-truss needs support >= k-2).
+
+    Same degree-orientation discipline as :func:`triangle_count`
+    (Suri-Vassilvitskii): every triangle is enumerated exactly once at
+    its lowest-(degree, id) vertex, so hub nodes produce no wedge
+    fan-out and the wedge volume keeps the O(m^{3/2}) bound. Each
+    found triangle is then exploded into its three edges in CANONICAL
+    (min-id, max-id) form — note the canonical key deliberately
+    differs from the (degree, id) orientation used for enumeration —
+    and the support is one map-side-combinable count, left-joined back
+    onto the edge set so triangle-free edges report 0.
+
+    Returns (u, v, support) with u < v, sorted.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    ranked = und.join(da, on="a").join(db, on="b")
+    fwd = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("_dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("_dy"))
+    wedges = (
+        o1.join(o2, on="w")
+        .join(dx, on="x")
+        .join(dy, on="y")
+        .filter(
+            F.struct(F.col("_dx"), F.col("x")) < F.struct(F.col("_dy"), F.col("y"))
+        )
+        .select("w", "x", "y")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        on=["x", "y"],
+    )
+    tri_edges = (
+        tris.select(F.col("w").alias("p"), F.col("x").alias("q"))
+        .unionByName(tris.select(F.col("w").alias("p"), F.col("y").alias("q")))
+        .unionByName(tris.select(F.col("x").alias("p"), F.col("y").alias("q")))
+        .select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+    )
+    support = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    return (
+        und.join(support, on=["a", "b"], how="left")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Maximal k-truss (Cohen 2008): the largest edge subset in which
+    every edge participates in >= k-2 triangles WITHIN the subset —
+    the standard cohesive-community core, stricter than k-core and
+    the usual next step after :func:`triangle_count` flags dense
+    regions. Iterative peel: recompute per-edge support on the
+    surviving edges (each round is the verified
+    :func:`edge_triangle_support` plan) and drop edges below k-2
+    until a fixpoint; rounds are bounded by the peel depth, each
+    strictly shrinks the edge set, and `localCheckpoint` keeps the
+    lineage flat. Returns the surviving (u, v) edges, u < v.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = cur.count()
+    for _ in range(max_iters):
+        if n == 0:
+            break
+        sup = edge_triangle_support(cur, src="a", dst="b")
+        nxt = (
+            sup.filter(F.col("support") >= k - 2)
+            .select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n:
+            break
+        n = n_nxt
+    else:
+        import warnings
+
+        warnings.warn(
+            f"k_truss hit max_iters={max_iters} before the peel converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return cur.select(F.col("a").alias("u"), F.col("b").alias("v")).orderBy("u", "v")

@@ -6682,6 +6682,132 @@ def q181(spark, sf_dir):
     return refine_communities(edges, communities)
 
 
+@register(
+    "q182_scc",
+    """
+    WITH RECURSIVE edges0 AS (
+      SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+      UNION ALL
+      SELECT 'R' || n_regionkey, 'N' || MIN(n_nationkey)
+      FROM nation GROUP BY n_regionkey
+      UNION ALL
+      SELECT 'N' || s_nationkey, 'S' || MIN(s_suppkey)
+      FROM supplier GROUP BY s_nationkey
+    ), reach(u, v) AS (
+      SELECT a, b FROM edges0
+      UNION
+      SELECT r.u, e.b FROM reach r JOIN edges0 e ON r.v = e.a
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges0
+      UNION SELECT DISTINCT b FROM edges0
+    ), mutual AS (
+      SELECT r1.u AS node, r1.v AS partner
+      FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+      UNION
+      SELECT node, node FROM nodes
+    )
+    SELECT node, MIN(partner) AS component
+    FROM mutual GROUP BY node ORDER BY node
+    """,
+)
+def q182(spark, sf_dir):
+    """Strongly connected components (operators/closure.
+    strongly_connected_components) — collapse mutually-entailing
+    cycles (synonym rings extracted as is-a back-edges) into one
+    canonical node before any DAG semantics, where q175 only FLAGS
+    them. Fixture: the supplier->nation->region chain plus
+    deterministic back-edges (region -> its min nation, nation -> its
+    min supplier), yielding mixed SCC sizes 1/2/3. The Spark path
+    trims the acyclic fringe with node-keyed semi-joins (singleton
+    SCCs, the web-scale bulk) and runs closure-and-transpose only on
+    the surviving cyclic core; the oracle saturates one recursive CTE
+    over everything, legitimate only at test scale."""
+    from ..operators.closure import strongly_connected_components
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        s.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.groupBy("n_regionkey")
+            .agg(F.min("n_nationkey").alias("mn"))
+            .select(
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("mn")).alias("dst"),
+            )
+        )
+        .unionByName(
+            s.groupBy("s_nationkey")
+            .agg(F.min("s_suppkey").alias("ms"))
+            .select(
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("ms")).alias("dst"),
+            )
+        )
+    )
+    return strongly_connected_components(edges).orderBy("node")
+
+
+@register(
+    "q183_edge_truss_support",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 60
+    ), e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.15
+    ), tris AS (
+      SELECT p1.u AS x, p1.v AS y, p2.v AS z
+      FROM e p1
+      JOIN e p2 ON p2.u = p1.v
+      JOIN e p3 ON p3.u = p1.u AND p3.v = p2.v
+    ), tri_edges AS (
+      SELECT x AS u, y AS v FROM tris
+      UNION ALL SELECT x, z FROM tris
+      UNION ALL SELECT y, z FROM tris
+    ), sup AS (
+      SELECT u, v, COUNT(*) AS support FROM tri_edges GROUP BY u, v
+    )
+    SELECT e.u, e.v, COALESCE(sup.support, 0)::BIGINT AS support
+    FROM e LEFT JOIN sup USING (u, v)
+    ORDER BY e.u, e.v
+    """,
+)
+def q183(spark, sf_dir):
+    """Per-edge triangle support (operators/kg_metrics.
+    edge_triangle_support) on q123's near-duplicate similarity graph
+    — the quantity k-truss peeling consumes (kg_metrics.k_truss
+    composes this in a peel loop, pytest-pinned). Degree-oriented
+    enumeration finds each triangle once at its lowest-degree vertex
+    (no hub fan-out), then explodes it into canonical edges for one
+    combinable count; the oracle brute-forces the triple self-join
+    over the same graph."""
+    from ..operators.dedup import jaccard_pairs_prefix
+    from ..operators.kg_metrics import edge_triangle_support
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = jaccard_pairs_prefix(d, threshold=0.15).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return edge_triangle_support(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -175,3 +175,206 @@ def test_cyclic_nodes_accepts_precomputed_closure(spark):
     cl = transitive_closure(edges)
     got = {r.node for r in cyclic_nodes(edges, closure=cl).collect()}
     assert got == {"a", "b"}
+
+
+def _scc_ref(edges):
+    """Driver-side Tarjan reference: node -> min-id of its SCC."""
+    import sys
+
+    adj = {}
+    nodes = set()
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+        nodes.add(s)
+        nodes.add(t)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    sys.setrecursionlimit(10000)
+
+    def strongconnect(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack.add(v)
+        for w in adj.get(v, []):
+            if w not in index:
+                strongconnect(w)
+                low[v] = min(low[v], low[w])
+            elif w in on_stack:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            members = []
+            while True:
+                w = stack.pop()
+                on_stack.discard(w)
+                members.append(w)
+                if w == v:
+                    break
+            root = min(members)
+            for w in members:
+                comp[w] = root
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def test_scc_mixed_sizes(spark):
+    from phenobert_spark.operators.closure import (
+        strongly_connected_components,
+    )
+
+    # 3-cycle a-b-c, 2-cycle d-e, bridge node f BETWEEN the two
+    # cycles (survives trim but is its own singleton SCC), and an
+    # acyclic tail g->h trimmed in round one.
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "f"), ("f", "d"),
+        ("d", "e"), ("e", "d"),
+        ("d", "f2"), ("f2", "a"),  # f/f2 both on inter-cycle paths
+        ("g", "h"), ("h", "a"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.component
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == _scc_ref(edges)
+    # the bridge path f -> d ... f2 -> a closes a giant cycle through
+    # both small cycles, so double-check the reference itself sees it:
+    assert got["f"] == got["a"] == got["d"] == got["e"]
+    assert got["g"] == "g" and got["h"] == "h"
+
+
+def test_scc_random_matches_tarjan(spark):
+    # string labels: the operator canonicalizes node ids AS STRINGS
+    # (min is lexicographic), so the reference must see the same keys
+    rng = random.Random(29)
+    edges = list(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(70)
+        }
+    )
+    edges = [
+        (f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    from phenobert_spark.operators.closure import (
+        strongly_connected_components,
+    )
+
+    got = {
+        r.node: r.component
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {k: v for k, v in _scc_ref(edges).items()}
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    from phenobert_spark.operators.closure import (
+        strongly_connected_components,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.component
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {x: x for x in "abcd"}
+
+
+def _support_ref(edges):
+    """Brute-force per-edge triangle support."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    sup = {e: 0 for e in und}
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) not in und:
+                continue
+            for z in nodes:
+                if z <= y:
+                    continue
+                if (x, z) in und and (y, z) in und:
+                    sup[(x, y)] += 1
+                    sup[(x, z)] += 1
+                    sup[(y, z)] += 1
+    return sup
+
+
+def test_edge_support_k4_plus_tail(spark):
+    from phenobert_spark.operators.kg_metrics import edge_triangle_support
+
+    # K4: every edge sits in exactly 2 triangles; pendant edge 4-5: 0.
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 4)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.u, r.v): r.support for r in edge_triangle_support(e).collect()}
+    assert got == _support_ref(edges)
+    assert got[(0, 1)] == 2 and got[(3, 4)] == 0
+
+
+def test_edge_support_random_brute(spark):
+    rng = random.Random(41)
+    edges = [
+        (a, b)
+        for a in range(25)
+        for b in range(25)
+        if a < b and rng.random() < 0.2
+    ]
+    from phenobert_spark.operators.kg_metrics import edge_triangle_support
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.u, r.v): r.support for r in edge_triangle_support(e).collect()}
+    assert got == _support_ref(edges)
+
+
+def _truss_ref(edges, k):
+    """Reference peel for the maximal k-truss."""
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        sup = _support_ref(list(cur))
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+def test_k_truss_peels_to_the_clique(spark):
+    from phenobert_spark.operators.kg_metrics import k_truss
+
+    # K4 core + a triangle hanging off node 3 + a chain: the 4-truss
+    # is exactly the K4 (each K4 edge has support 2 within it); the
+    # hanging triangle survives only at k=3.
+    k4 = list(itertools.combinations(range(4), 2))
+    tri = [(3, 10), (3, 11), (10, 11)]
+    chain = [(11, 12), (12, 13)]
+    edges = k4 + tri + chain
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got4 = {(r.u, r.v) for r in k_truss(e, k=4).collect()}
+    assert got4 == set(k4) == _truss_ref(edges, 4)
+    got3 = {(r.u, r.v) for r in k_truss(e, k=3).collect()}
+    assert got3 == set(k4) | set(tri) == _truss_ref(edges, 3)
+
+
+def test_k_truss_random_and_validations(spark):
+    from phenobert_spark.operators.kg_metrics import k_truss
+
+    rng = random.Random(53)
+    edges = [
+        (a, b)
+        for a in range(18)
+        for b in range(18)
+        if a < b and rng.random() < 0.3
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.u, r.v) for r in k_truss(e, k=4).collect()}
+    assert got == _truss_ref(edges, 4)
+    with pytest.raises(ValueError):
+        k_truss(e, k=1)
