@@ -579,3 +579,91 @@ def strongly_connected_components(
         "node", F.col("node").alias("component")
     )
     return scc_core.unionByName(trimmed)
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Longest-path topological layering of a DAG: (node, layer) with
+    layer(v) = 0 for nodes with no incoming edge and otherwise
+    1 + max(layer(u)) over edges u -> v — i.e. the length of the
+    longest path reaching v from any source. This is the layering a
+    dependency scheduler consumes (every node's inputs live in
+    strictly lower layers, so layers execute as sequential waves with
+    full parallelism inside each wave) and the ontology analog of
+    "depth when every parent must be counted" (the reference computes
+    driver-side HPO depths on the in-memory DAG; this is the
+    distributed form for graphs that don't fit a driver).
+
+    Fixed-point DP rather than Kahn peeling: start every node at the
+    lower bound (0 for sources; 1 for anything with an in-edge) and
+    repeat layer(v) <- max(layer(v), 1 + max incoming layer(u)) until
+    unchanged. Each round is one edge equi-join + one dst-keyed max —
+    both combiner-friendly — and the round count equals the DAG depth,
+    the same bound every frontier op in this module pays
+    (:func:`bfs_distances`, :func:`transitive_closure`);
+    `localCheckpoint` keeps lineage flat. Layers only ever increase
+    and are bounded by depth on a DAG, so non-convergence within
+    ``max_iters`` means a cycle (or a deeper graph): raise and point
+    at :func:`strongly_connected_components` / :func:`cyclic_nodes`.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    has_in = e.select(F.col("v").alias("node")).distinct()
+    layer = (
+        nodes.join(has_in.withColumn("_h", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("_h", F.lit(0)).cast("bigint").alias("layer"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        bumped = (
+            e.join(
+                layer.select(F.col("node").alias("u"), F.col("layer").alias("_lu")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.max("_lu") + F.lit(1)).alias("_cand"))
+        )
+        nxt = (
+            layer.join(bumped, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("layer"), F.coalesce("_cand", F.lit(0))
+                ).alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(
+                layer.select("node", F.col("layer").alias("_old")), "node"
+            )
+            .filter(F.col("layer") != F.col("_old"))
+            .count()
+        )
+        layer = nxt
+        if changed == 0:
+            return layer
+    raise RuntimeError(
+        f"topo_layers did not converge in max_iters={max_iters}: the "
+        "graph has a cycle or is deeper than the budget — run "
+        "strongly_connected_components/cyclic_nodes to locate cycles"
+    )

@@ -1458,3 +1458,158 @@ def k_truss(
             stacklevel=2,
         )
     return cur.select(F.col("a").alias("u"), F.col("b").alias("v")).orderBy("u", "v")
+
+
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement (Weisfeiler &
+    Leman 1968; Shervashidze et al. 2011 WL-kernel form): ``rounds``
+    iterations of color(v) <- md5(color(v) || '|' || sorted multiset
+    of neighbor colors) over the undirected graph. The resulting
+    colors are structural-role signatures: two nodes share a color
+    iff 1-WL cannot distinguish their rooted neighborhoods to this
+    depth — the standard cheap test for structurally-equivalent
+    entities (duplicate subgraphs from template-generated pages,
+    interchangeable intermediate nodes) before any embedding model.
+
+    `labels` optionally seeds round 0 with (node, label) attribute
+    colors; unlabeled graphs start uniform ('0'), matching the WL
+    kernel convention.
+
+    Scale shape: each round is one node-keyed equi-join (colors onto
+    edge endpoints) + one groupBy(node) with sort_array(collect_list)
+    — payload per node is its degree, so the only skew risk is the
+    hub-degree row, the same row every neighborhood aggregation in
+    this module carries (label propagation, feature propagation).
+    md5 keeps colors 32 bytes regardless of round, so state does NOT
+    grow with iteration — the naive string-concat WL explodes
+    exponentially. Colors are engine-portable (md5 over canonical
+    strings), so a SQL twin reproduces them bit-for-bit.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(
+        F.col(src).cast("string").alias("a"),
+        F.col(dst).cast("string").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    und = e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")).distinct()
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    if labels is not None:
+        lab = labels.select(
+            F.col(labels.columns[0]).cast("string").alias("node"),
+            F.col(labels.columns[1]).cast("string").alias("color"),
+        )
+        color = nodes.join(lab, "node", "left").select(
+            "node", F.coalesce("color", F.lit("0")).alias("color")
+        )
+    else:
+        color = nodes.select("node", F.lit("0").alias("color"))
+    color = color.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr_sig = (
+            sym.join(
+                color.select(
+                    F.col("node").alias("b"), F.col("color").alias("_nc")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list("_nc"))
+                ).alias("_sig")
+            )
+        )
+        color = (
+            color.join(nbr_sig, "node")
+            .select(
+                "node",
+                F.md5(F.concat_ws("|", F.col("color"), F.col("_sig"))).alias(
+                    "color"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return color
+
+
+def pathsim_topk(
+    edges: DataFrame,
+    k: int = 5,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_b_degree: int | None = None,
+) -> DataFrame:
+    """PathSim top-k (Sun et al., VLDB 2011) over the symmetric
+    metapath A-B-A of a bipartite (a, b) edge set: for entities of
+    type A linked through shared type-B neighbors,
+    ``pathsim(x, y) = 2·|B(x) ∩ B(y)| / (|B(x)| + |B(y)|)`` — the
+    path-count form 2·M_xy / (M_xx + M_yy) specialises to distinct-B
+    counts when the bipartite edges are deduplicated first, which
+    this operator enforces. Emits each anchor's top-k partners,
+    ``(anchor, partner, common_b, pathsim, rank)``, tie-broken
+    deterministically (score desc, partner asc).
+
+    Scale shape: co-occurring pairs come from ONE self-equi-join on
+    the b key — fan-out per b is degree², so a hot b (a mega-order, a
+    template page) is the quadratic risk; ``max_b_degree`` drops b's
+    above the cap before the join (the standard PathSim pruning —
+    hub b's carry near-zero specificity anyway, same argument as
+    q115's max_train_df boilerplate cut). Top-k is a window keyed on
+    the anchor, bounded by the anchor's candidate count, never a
+    global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    if max_b_degree is not None:
+        keep = (
+            e.groupBy("b")
+            .agg(F.count("*").alias("_db"))
+            .filter(F.col("_db") <= max_b_degree)
+            .select("b")
+        )
+        e = e.join(keep, "b", "left_semi")
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("a").agg(F.count("*").alias("_deg"))
+    pairs = (
+        e.join(e.select(F.col("a").alias("a2"), "b"), "b")
+        .filter(F.col("a") != F.col("a2"))
+        .groupBy("a", "a2")
+        .agg(F.count("*").cast("bigint").alias("common_b"))
+    )
+    scored = (
+        pairs.join(deg.select(F.col("a"), F.col("_deg").alias("_d1")), "a")
+        .join(
+            deg.select(F.col("a").alias("a2"), F.col("_deg").alias("_d2")),
+            "a2",
+        )
+        .select(
+            F.col("a").alias("anchor"),
+            F.col("a2").alias("partner"),
+            "common_b",
+            (
+                F.lit(2.0)
+                * F.col("common_b").cast("double")
+                / (F.col("_d1") + F.col("_d2")).cast("double")
+            ).alias("pathsim"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("pathsim").desc(), F.col("partner").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "partner", "common_b", "pathsim", "rank")
+    )

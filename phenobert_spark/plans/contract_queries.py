@@ -6808,6 +6808,181 @@ def q183(spark, sf_dir):
     return edge_triangle_support(pairs)
 
 
+@register(
+    "q184_wl_refinement",
+    """
+    WITH e0 AS (
+      SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    ), und AS (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM e0 WHERE a <> b
+    ), sym AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), c0 AS (
+      SELECT DISTINCT a AS node, '0' AS color FROM sym
+    ), c1 AS (
+      SELECT s.a AS node,
+             md5(min(c.color) || '|' ||
+                 string_agg(cn.color, ',' ORDER BY cn.color)) AS color
+      FROM sym s
+      JOIN c0 c ON c.node = s.a
+      JOIN c0 cn ON cn.node = s.b
+      GROUP BY s.a
+    ), c2 AS (
+      SELECT s.a AS node,
+             md5(min(c.color) || '|' ||
+                 string_agg(cn.color, ',' ORDER BY cn.color)) AS color
+      FROM sym s
+      JOIN c1 c ON c.node = s.a
+      JOIN c1 cn ON cn.node = s.b
+      GROUP BY s.a
+    ), c3 AS (
+      SELECT s.a AS node,
+             md5(min(c.color) || '|' ||
+                 string_agg(cn.color, ',' ORDER BY cn.color)) AS color
+      FROM sym s
+      JOIN c2 c ON c.node = s.a
+      JOIN c2 cn ON cn.node = s.b
+      GROUP BY s.a
+    )
+    SELECT node, color FROM c3 ORDER BY node
+    """,
+)
+def q184(spark, sf_dir):
+    """1-WL color refinement (operators/kg_metrics.wl_refinement), 3
+    rounds, uniform seed, on the supplier-nation-region graph —
+    structural-role signatures that separate suppliers / nations /
+    regions purely from neighborhood shape (all suppliers of
+    same-degree nations converge to one color). Colors are md5 over
+    canonical strings so the DuckDB twin (3 unrolled rounds,
+    string_agg ORDER BY == sort_array) reproduces them bit-for-bit;
+    md5 keeps per-round state at 32 bytes, never the exponential
+    concat the naive WL pays."""
+    from ..operators.kg_metrics import wl_refinement
+
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    edges = s.select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        )
+    )
+    return wl_refinement(edges, rounds=3).orderBy("node")
+
+
+@register(
+    "q185_topo_layers",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'O' || o_orderkey AS u, 'C' || o_custkey AS v
+      FROM orders
+      UNION
+      SELECT DISTINCT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+      UNION
+      SELECT DISTINCT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    ), nodes AS (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    ), sources AS (
+      SELECT node FROM nodes WHERE node NOT IN (SELECT v FROM e)
+    ), paths(node, len) AS (
+      SELECT node, 0 FROM sources
+      UNION ALL
+      SELECT e.v, p.len + 1 FROM paths p JOIN e ON e.u = p.node
+    )
+    SELECT node, MAX(len)::BIGINT AS layer
+    FROM paths GROUP BY node ORDER BY node
+    """,
+)
+def q185(spark, sf_dir):
+    """Longest-path topological layering (operators/closure.
+    topo_layers) of the orders -> customer -> nation -> region DAG:
+    the wave schedule a dependency executor consumes (inputs strictly
+    in lower layers) and the distributed form of the reference's
+    driver-side HPO depth walk. Customers without orders layer at 0,
+    with orders at 1 — the mixed-source case. Spark runs the
+    fixed-point DP (depth-bounded rounds of edge join + dst-keyed
+    max); the oracle enumerates every source path recursively and
+    takes MAX(len), legitimate only at test scale."""
+    from ..operators.closure import topo_layers
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        o.select(
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return topo_layers(edges).orderBy("node")
+
+
+@register(
+    "q186_pathsim_topk",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS a, l_orderkey AS b
+      FROM lineitem WHERE l_partkey < 150
+    ), deg AS (
+      SELECT a, COUNT(*) AS d FROM e GROUP BY a
+    ), pairs AS (
+      SELECT e1.a AS anchor, e2.a AS partner, COUNT(*)::BIGINT AS common_b
+      FROM e e1 JOIN e e2 ON e1.b = e2.b AND e1.a <> e2.a
+      GROUP BY e1.a, e2.a
+    ), scored AS (
+      SELECT anchor, partner, common_b,
+             2.0 * common_b / (d1.d + d2.d) AS pathsim
+      FROM pairs
+      JOIN deg d1 ON d1.a = anchor
+      JOIN deg d2 ON d2.a = partner
+    ), ranked AS (
+      SELECT anchor, partner, common_b, pathsim,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor ORDER BY pathsim DESC, partner ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT anchor, partner, common_b, pathsim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY anchor, rank
+    """,
+)
+def q186(spark, sf_dir):
+    """PathSim top-k metapath similarity (operators/kg_metrics.
+    pathsim_topk; Sun et al. VLDB 2011) over the part-order-part
+    metapath: which parts behave like this part, measured by shared
+    orders and normalized by both parts' visibility — the
+    heterogeneous-KG similarity that raw co-occurrence counts (q142's
+    lift) skew toward hubs on. One self-equi-join on the b key
+    (fan-out degree² per order, capped by max_b_degree at scale),
+    anchor-keyed top-k window; the oracle is the same algebra in
+    plain SQL."""
+    from ..operators.kg_metrics import pathsim_topk
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 150)
+    edges = li.select(
+        F.col("l_partkey").alias("a"), F.col("l_orderkey").alias("b")
+    )
+    return pathsim_topk(edges, k=3).orderBy("anchor", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

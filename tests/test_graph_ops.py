@@ -378,3 +378,168 @@ def test_k_truss_random_and_validations(spark):
     assert got == _truss_ref(edges, 4)
     with pytest.raises(ValueError):
         k_truss(e, k=1)
+
+
+def _wl_ref(edges, rounds, labels=None):
+    """Driver-side 1-WL twin (md5 colors, sorted neighbor multiset)."""
+    import hashlib
+
+    und = {tuple(sorted(map(str, e))) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    color = {n: (labels or {}).get(n, "0") for n in adj}
+    for _ in range(rounds):
+        color = {
+            n: hashlib.md5(
+                (
+                    color[n] + "|" + ",".join(sorted(color[m] for m in adj[n]))
+                ).encode()
+            ).hexdigest()
+            for n in adj
+        }
+    return color
+
+
+def test_wl_separates_structural_roles(spark):
+    from phenobert_spark.operators.kg_metrics import wl_refinement
+
+    # path a-b-c-d: endpoints {a,d} converge to one color, inner
+    # {b,c} to another; star center differs from its leaves.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("s", "l1"), ("s", "l2"), ("s", "l3")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.color for r in wl_refinement(e, rounds=3).collect()}
+    assert got == _wl_ref(edges, 3)
+    assert got["a"] == got["d"] and got["b"] == got["c"]
+    assert got["a"] != got["b"]
+    assert got["l1"] == got["l2"] == got["l3"] != got["s"]
+    # 1-WL blind spot stays blind: a path endpoint and a star leaf
+    # both see degree-1 -> degree-3?  No: after round 2 the leaf sees
+    # the center's degree-3 signature, the endpoint a degree-2 one.
+    assert got["a"] != got["l1"]
+
+
+def test_wl_label_seed_and_random_graph(spark):
+    from phenobert_spark.operators.kg_metrics import wl_refinement
+
+    rng = random.Random(61)
+    edges = [
+        (f"v{a}", f"v{b}")
+        for a in range(20)
+        for b in range(20)
+        if a < b and rng.random() < 0.15
+    ]
+    labels = {f"v{i}": str(i % 3) for i in range(20)}
+    e = spark.createDataFrame(edges, "src string, dst string")
+    lab = spark.createDataFrame(
+        list(labels.items()), "node string, label string"
+    )
+    got = {
+        r.node: r.color
+        for r in wl_refinement(e, rounds=2, labels=lab).collect()
+    }
+    assert got == _wl_ref(edges, 2, labels)
+    with pytest.raises(ValueError):
+        wl_refinement(e, rounds=0)
+
+
+def _topo_ref(edges):
+    """Longest path from any source, per node."""
+    nodes = {x for e in edges for x in e}
+    incoming = {n: [] for n in nodes}
+    for u, v in edges:
+        incoming[v].append(u)
+    memo = {}
+
+    def depth(v):
+        if v not in memo:
+            memo[v] = (
+                0
+                if not incoming[v]
+                else 1 + max(depth(u) for u in incoming[v])
+            )
+        return memo[v]
+
+    return {n: depth(n) for n in nodes}
+
+
+def test_topo_layers_chain_diamond_and_mixed_sources(spark):
+    from phenobert_spark.operators.closure import topo_layers
+
+    # diamond with a long side: d must layer at 3 (longest path),
+    # not 1 (shortest); x is an extra source feeding mid-chain.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("x", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.layer for r in topo_layers(e).collect()}
+    assert got == _topo_ref(edges)
+    assert got["d"] == 3 and got["x"] == 0 and got["c"] == 2
+
+
+def test_topo_layers_random_dag(spark):
+    from phenobert_spark.operators.closure import topo_layers
+
+    rng = random.Random(67)
+    edges = [
+        (f"n{a:02d}", f"n{b:02d}")
+        for a in range(25)
+        for b in range(25)
+        if a < b and rng.random() < 0.12
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.layer for r in topo_layers(e).collect()}
+    assert got == _topo_ref(edges)
+
+
+def test_topo_layers_cycle_raises(spark):
+    from phenobert_spark.operators.closure import topo_layers
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        topo_layers(e, max_iters=10)
+
+
+def test_pathsim_hand_fixture(spark):
+    from phenobert_spark.operators.kg_metrics import pathsim_topk
+
+    # B(x)={1,2,3}, B(y)={1,2}, B(z)={3,9}:
+    # pathsim(x,y)=2*2/5=0.8  pathsim(x,z)=2*1/5=0.4  pathsim(y,z)=0
+    edges = [("x", 1), ("x", 2), ("x", 3), ("y", 1), ("y", 2),
+             ("z", 3), ("z", 9)]
+    e = spark.createDataFrame(edges, "a string, b bigint")
+    got = {
+        (r.anchor, r.partner): (r.common_b, r.pathsim, r.rank)
+        for r in pathsim_topk(e, k=5).collect()
+    }
+    assert got[("x", "y")] == (2, pytest.approx(0.8), 1)
+    assert got[("x", "z")] == (1, pytest.approx(0.4), 2)
+    assert got[("y", "x")][2] == 1 and ("y", "z") not in got
+    # duplicate bipartite edges must NOT inflate counts
+    e_dup = spark.createDataFrame(edges + edges, "a string, b bigint")
+    got_dup = {
+        (r.anchor, r.partner): (r.common_b, r.pathsim, r.rank)
+        for r in pathsim_topk(e_dup, k=5).collect()
+    }
+    assert got_dup == got
+    with pytest.raises(ValueError):
+        pathsim_topk(e, k=0)
+
+
+def test_pathsim_hot_b_cap(spark):
+    from phenobert_spark.operators.kg_metrics import pathsim_topk
+
+    # b=99 touches every a (a template page); capping it removes the
+    # spurious all-pairs similarity it manufactures.
+    base = [("x", 1), ("y", 1), ("z", 2)]
+    hot = [(a, 99) for a in ("x", "y", "z", "w")]
+    e = spark.createDataFrame(base + hot, "a string, b bigint")
+    uncapped = pathsim_topk(e, k=10)
+    assert uncapped.filter("anchor = 'w'").count() == 3
+    capped = {
+        (r.anchor, r.partner): r.common_b
+        for r in pathsim_topk(e, k=10, max_b_degree=3).collect()
+    }
+    assert capped == {("x", "y"): 1, ("y", "x"): 1}
