@@ -342,3 +342,81 @@ def countmin_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Bloom-filter bit table: the distinct set-bit positions
+    ``md5(key || salt || i) mod m_bits`` for i in 0..k-1 (Bloom 1970)
+    — the runtime-filter primitive a 100-TB join plans around: build
+    the bits from the SMALL side's join keys, broadcast them, and
+    semi-filter the big side's scan before the shuffle, turning most
+    non-matching rows into map-side drops. One row per set bit
+    (``(bit)``), so the table is at most m_bits rows regardless of
+    input size — broadcast territory by construction — and tables
+    built from disjoint shards merge by plain union+distinct.
+
+    Deterministic md5 positions (the :func:`_md5_u32` convention), so
+    a SQL twin sets bit-for-bit identical positions — estimates AND
+    the filter decision are cross-engine exact.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits must be >= 2 and k_hashes >= 1")
+    keys = df.select(F.col(key_col).alias("_k")).distinct()
+    bits = None
+    for i in range(k_hashes):
+        b = keys.select(
+            (_md5_u32(F.col("_k"), salt=f"{salt}#{i}") % m_bits).alias("bit")
+        )
+        bits = b if bits is None else bits.unionByName(b)
+    return bits.distinct()
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Membership test against a :func:`bloom_bits` table: returns the
+    probe rows plus ``maybe_member`` — true iff ALL k bit positions of
+    the probe key are set (no false negatives; false positives at the
+    standard (1 - e^{-kn/m})^k rate). ``m_bits``/``k_hashes``/``salt``
+    must match the build call.
+
+    Plan shape: each probe fans out to its k positions, LEFT-joins the
+    bit table (dim-sized — Catalyst broadcasts it), and a keyed
+    bool_and folds the verdict; the fan-out is k×, constant, not
+    data-dependent. Intended use is ``filter(maybe_member)`` as the
+    cheap pre-shuffle gate, with the exact join after it — false
+    positives cost only wasted shuffle rows, never wrong results.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits must be >= 2 and k_hashes >= 1")
+    pos = None
+    for i in range(k_hashes):
+        p = probes.select(
+            F.col(key_col).alias("_k"),
+            (_md5_u32(F.col(key_col), salt=f"{salt}#{i}") % m_bits).alias(
+                "bit"
+            ),
+        )
+        pos = p if pos is None else pos.unionByName(p)
+    hit = pos.join(
+        bits.withColumn("_set", F.lit(True)), on="bit", how="left"
+    )
+    verdict = hit.groupBy("_k").agg(
+        F.min(F.coalesce("_set", F.lit(False))).alias("maybe_member")
+    )
+    return probes.join(
+        verdict.select(F.col("_k").alias(key_col), "maybe_member"),
+        on=key_col,
+        how="left",
+    )

@@ -6983,6 +6983,154 @@ def q186(spark, sf_dir):
     return pathsim_topk(edges, k=3).orderBy("anchor", "rank")
 
 
+@register(
+    "q187_coalesce_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id AS key,
+             floor(epoch(ts))::BIGINT AS s,
+             floor(epoch(ts))::BIGINT + 60 + event_id % 240 AS e
+      FROM events
+    ), flagged AS (
+      SELECT key, s, e,
+             CASE WHEN max_prev IS NULL OR s > max_prev
+                  THEN 1 ELSE 0 END AS f
+      FROM (
+        SELECT key, s, e,
+               MAX(e) OVER (
+                 PARTITION BY key ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS max_prev
+        FROM iv
+      )
+    ), islands AS (
+      SELECT key, s, e,
+             SUM(f) OVER (
+               PARTITION BY key ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT key, MIN(s) AS start, MAX(e) AS "end",
+           COUNT(*)::BIGINT AS n_rows
+    FROM islands GROUP BY key, island ORDER BY key, start
+    """,
+)
+def q187(spark, sf_dir):
+    """Validity-interval coalescing (operators/intervals.
+    coalesce_intervals) — gaps-and-islands: the same fact re-asserted
+    across consecutive snapshots yields abutting/overlapping validity
+    rows (q143's output shape) that must merge into maximal intervals
+    before storage or diffing. Fixture: per-user activity intervals
+    [t, t + 60 + event_id % 240) from the events table. One window
+    exchange per key (running max of end over preceding rows flags
+    island starts; running sum numbers them); the oracle is the
+    identical window algebra in DuckDB."""
+    from ..operators.intervals import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("key"),
+        F.unix_timestamp("ts").alias("start"),
+        (
+            F.unix_timestamp("ts") + 60 + F.col("event_id") % 240
+        ).alias("end"),
+    )
+    return coalesce_intervals(iv).orderBy("key", "start")
+
+
+@register(
+    "q188_interval_overlap_join",
+    """
+    WITH v AS (
+      SELECT user_id AS key, event_id AS id,
+             floor(epoch(ts))::BIGINT AS s,
+             floor(epoch(ts))::BIGINT + 900 + event_id % 2700 AS e
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id AS key, event_id AS id,
+             floor(epoch(ts))::BIGINT AS s,
+             floor(epoch(ts))::BIGINT + 900 + event_id % 2700 AS e
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT v.key, v.id AS left_id, c.id AS right_id,
+           greatest(v.s, c.s) AS overlap_start,
+           least(v.e, c.e) AS overlap_end
+    FROM v JOIN c ON v.key = c.key AND v.s < c.e AND c.s < v.e
+    ORDER BY v.key, left_id, right_id
+    """,
+)
+def q188(spark, sf_dir):
+    """Interval overlap join (operators/intervals.
+    interval_overlap_join): which view and click intervals of the
+    same user were simultaneously open — concurrent-validity / time-
+    co-occurrence, the query Spark would otherwise plan as a
+    broadcast nested loop from the raw theta predicate. The operator
+    tiles time into fixed buckets and EQUI-joins on (key, bucket)
+    (the 1-D spatial-grid trick), then filters the exact half-open
+    predicate and dedups multi-bucket hits; per-row guard refuses
+    degenerate span/bucket ratios executor-side. The oracle IS the
+    theta join, the q33/q35 brute-twin discipline."""
+    from ..operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def side(kind):
+        return ev.filter(F.col("event_type") == kind).select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("id"),
+            F.unix_timestamp("ts").alias("start"),
+            (
+                F.unix_timestamp("ts") + 900 + F.col("event_id") % 2700
+            ).alias("end"),
+        )
+
+    return interval_overlap_join(
+        side("view"), side("click"), bucket=3600
+    ).orderBy("key", "left_id", "right_id")
+
+
+@register(
+    "q189_bloom_filter_probe",
+    """
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+    ), bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(k::VARCHAR || '#' || i), 1, 8))::BIGINT
+          % 65536 AS bit
+      FROM keys, range(4) t(i)
+    ), pos AS (
+      SELECT c_custkey,
+        ('0x' || substr(md5(c_custkey::VARCHAR || '#' || i), 1, 8))::BIGINT
+          % 65536 AS bit
+      FROM customer, range(4) t(i)
+    )
+    SELECT c_custkey,
+           bool_and(bit IN (SELECT bit FROM bits)) AS maybe_member
+    FROM pos GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def q189(spark, sf_dir):
+    """Bloom-filter build + probe (operators/sketches.bloom_bits /
+    bloom_probe; Bloom 1970) — the runtime-filter primitive of a
+    100-TB join: bits built from the small side's keys (high-value
+    orders' customers), broadcast, and probed by the big side before
+    the shuffle; false positives only waste shuffle rows, false
+    negatives cannot happen. Deterministic md5 bit positions (the
+    sketches-module convention) make the FILTER DECISION itself
+    cross-engine exact — the oracle recomputes every set bit and
+    probe verdict in DuckDB."""
+    from ..operators.sketches import bloom_bits, bloom_probe
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    bits = bloom_bits(o, "o_custkey", m_bits=65536, k_hashes=4)
+    probes = _t(spark, sf_dir, "customer").select("c_custkey")
+    return bloom_probe(
+        probes, bits, "c_custkey", m_bits=65536, k_hashes=4
+    ).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -225,3 +225,61 @@ def test_corpus_stats_job_end_to_end(spark, tmp_path):
 
     regs = spark.read.parquet(f"{out}/hll_registers")
     assert {"lang", "source", "bucket", "rho"} <= set(regs.columns)
+
+
+def _bloom_ref(build_keys, probe_keys, m, k):
+    import hashlib
+
+    def positions(key):
+        return {
+            int(
+                hashlib.md5(f"{key}#{i}".encode()).hexdigest()[:8], 16
+            )
+            % m
+            for i in range(k)
+        }
+
+    bits = set()
+    for key in build_keys:
+        bits |= positions(key)
+    return bits, {key: positions(key) <= bits for key in probe_keys}
+
+
+def test_bloom_no_false_negatives_and_exact_twin(spark):
+    from phenobert_spark.operators.sketches import bloom_bits, bloom_probe
+
+    build = [f"member{i}" for i in range(200)]
+    probe = build[:50] + [f"outsider{i}" for i in range(200)]
+    m, k = 4096, 4
+    bdf = spark.createDataFrame([(x,) for x in build], "key string")
+    pdf = spark.createDataFrame([(x,) for x in probe], "key string")
+    bits = bloom_bits(bdf, "key", m_bits=m, k_hashes=k)
+    got_bits = {r.bit for r in bits.collect()}
+    ref_bits, ref_verdicts = _bloom_ref(build, probe, m, k)
+    assert got_bits == ref_bits
+    got = {
+        r.key: r.maybe_member
+        for r in bloom_probe(pdf, bits, "key", m_bits=m, k_hashes=k).collect()
+    }
+    assert got == ref_verdicts
+    # no false negatives, ever
+    assert all(got[x] for x in build[:50])
+    # at m/n ≈ 20 bits/key the FP rate is ~0.1%; assert it stays sane
+    fps = sum(got[f"outsider{i}"] for i in range(200))
+    assert fps <= 5
+
+
+def test_bloom_duplicate_probes_and_validation(spark):
+    from phenobert_spark.operators.sketches import bloom_bits, bloom_probe
+
+    bdf = spark.createDataFrame([("a",), ("b",)], "key string")
+    # duplicate probe rows must each carry the verdict (row-preserving)
+    pdf = spark.createDataFrame([("a",), ("a",), ("zz",)], "key string")
+    bits = bloom_bits(bdf, "key", m_bits=256, k_hashes=3)
+    rows = bloom_probe(pdf, bits, "key", m_bits=256, k_hashes=3).collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r.key == "a" and r.maybe_member) == 2
+    with pytest.raises(ValueError):
+        bloom_bits(bdf, "key", m_bits=1)
+    with pytest.raises(ValueError):
+        bloom_probe(pdf, bits, "key", k_hashes=0)
