@@ -349,3 +349,62 @@ def sorted_neighborhood_matches(
         .dropDuplicates(["id_a", "id_b"])  # both-bucket probes collide
         .orderBy("id_a", "id_b")
     )
+
+
+def bcubed_scores(
+    df: DataFrame,
+    item: str = "item",
+    gold: str = "gold",
+    pred: str = "pred",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a predicted clustering against
+    gold clusters (Bagga & Baldwin 1998) — the standard extrinsic
+    metric for entity-resolution output (blocked_matches /
+    sorted_neighborhood_matches edges -> connected components ->
+    THIS, against a labeled sample).
+
+    Per item i: precision(i) = |cluster(i) ∩ gold_class(i)| /
+    |cluster(i)|, recall(i) mirrors with the gold size; the corpus
+    scores are the plain means and F1 their harmonic mean. Returns
+    one row (bcubed_precision, bcubed_recall, bcubed_f1, n_items).
+
+    Chosen over pairwise P/R because it is LINEAR: pairwise F1
+    materializes O(sum of cluster sizes squared) pairs — a single
+    mega-cluster (the classic ER failure mode this metric exists to
+    catch) explodes exactly when you most need the number. Here the
+    plan is three keyed counts (gold, pred, gold x pred), two
+    broadcast-sized joins back onto the items, and one global mean —
+    every aggregation map-side combinable, nothing quadratic, skew
+    bounded by the count tables not the pair space.
+    """
+    items = df.select(
+        F.col(item).alias("_i"),
+        F.col(gold).cast("string").alias("_g"),
+        F.col(pred).cast("string").alias("_p"),
+    )
+    both = items.groupBy("_g", "_p").agg(F.count("*").alias("_n"))
+    gsz = items.groupBy("_g").agg(F.count("*").alias("_gn"))
+    psz = items.groupBy("_p").agg(F.count("*").alias("_pn"))
+    per_item = (
+        items.join(both, ["_g", "_p"])
+        .join(gsz, "_g")
+        .join(psz, "_p")
+        .select(
+            (F.col("_n").cast("double") / F.col("_pn")).alias("_prec"),
+            (F.col("_n").cast("double") / F.col("_gn")).alias("_rec"),
+        )
+    )
+    agg = per_item.agg(
+        F.avg("_prec").alias("_ap"),
+        F.avg("_rec").alias("_ar"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+    return agg.select(
+        F.round("_ap", 6).alias("bcubed_precision"),
+        F.round("_ar", 6).alias("bcubed_recall"),
+        F.round(
+            2 * F.col("_ap") * F.col("_ar") / (F.col("_ap") + F.col("_ar")),
+            6,
+        ).alias("bcubed_f1"),
+        "n_items",
+    )

@@ -7131,6 +7131,126 @@ def q189(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+@register(
+    "q190_url_canonicalize",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END AS scheme,
+           lower(source) || '.example.com' AS host,
+           'example.com' AS reg_domain,
+           CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END
+           || '://' || lower(source) || '.example.com'
+           || CASE WHEN doc_id % 5 = 0 AND doc_id % 3 = 1 THEN ':80'
+                   WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN ':8080'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN '/'
+                   ELSE '/Docs/' || (doc_id % 50)::VARCHAR END
+           || '?a=' || (doc_id % 7)::VARCHAR
+           || '&b=' || (doc_id % 9)::VARCHAR AS canon_url
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q190(spark, sf_dir):
+    """URL canonicalization (operators/web.canonicalize_urls) — the
+    key hygiene pass a web-scale KG ingest runs before any URL-keyed
+    join: scheme/host case, a www. alias, a trailing host dot,
+    default ports, utm_*/fbclid tracking params, unsorted query
+    params and fragments are all synthesized onto messy fixture URLs
+    (deterministic doc_id arithmetic over documents), and the
+    operator must collapse each to its one canonical page key.
+    Map-only stage, JVM regex/array Columns, no shuffle. The oracle
+    does NOT re-run the parser: it derives the expected canonical
+    string independently from the same fixture arithmetic, so the
+    regex extraction, port/scheme interaction, param filter+sort and
+    fragment drop are all checked against a second derivation."""
+    from ..operators.web import canonicalize_urls
+
+    d = F.col("doc_id")
+    messy = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(d % 3 == 0, "HTTP")
+            .when(d % 3 == 1, "https")
+            .otherwise("Http"),
+            F.lit("://"),
+            F.when(d % 2 == 0, "WWW.").otherwise(""),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(d % 11 == 0, ".").otherwise(""),
+            F.when(d % 5 == 0, ":80")
+            .when(d % 7 == 0, ":8080")
+            .otherwise(""),
+            F.when(d % 4 == 0, "").otherwise(
+                F.concat(F.lit("/Docs/"), (d % 50).cast("string"))
+            ),
+            F.lit("?utm_source=feed&b="),
+            (d % 9).cast("string"),
+            F.lit("&a="),
+            (d % 7).cast("string"),
+            F.when(d % 6 == 0, "&fbclid=x").otherwise(""),
+            F.when(d % 8 == 0, "#Sec").otherwise(""),
+        ).alias("url"),
+    )
+    return (
+        canonicalize_urls(messy)
+        .select("doc_id", "scheme", "host", "reg_domain", "canon_url")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q191_bcubed_clustering_eval",
+    """
+    WITH items AS (
+      SELECT doc_id AS item, source AS gold,
+             CASE WHEN doc_id % 10 = 0 THEN 'merged' ELSE source END AS pred
+      FROM documents
+    ), pair AS (
+      SELECT gold, pred, COUNT(*) AS n FROM items GROUP BY gold, pred
+    ), gsz AS (
+      SELECT gold, COUNT(*) AS gn FROM items GROUP BY gold
+    ), psz AS (
+      SELECT pred, COUNT(*) AS pn FROM items GROUP BY pred
+    ), per_item AS (
+      SELECT i.item,
+             pair.n::DOUBLE / psz.pn AS prec,
+             pair.n::DOUBLE / gsz.gn AS rec
+      FROM items i
+      JOIN pair ON i.gold = pair.gold AND i.pred = pair.pred
+      JOIN gsz ON i.gold = gsz.gold
+      JOIN psz ON i.pred = psz.pred
+    )
+    SELECT ROUND(AVG(prec), 6) AS bcubed_precision,
+           ROUND(AVG(rec), 6) AS bcubed_recall,
+           ROUND(2 * AVG(prec) * AVG(rec) / (AVG(prec) + AVG(rec)), 6)
+             AS bcubed_f1,
+           COUNT(*)::BIGINT AS n_items
+    FROM per_item
+    """,
+)
+def q191(spark, sf_dir):
+    """B-cubed clustering evaluation (operators/entity_resolution.
+    bcubed_scores; Bagga & Baldwin 1998) — the extrinsic ER metric,
+    chosen over pairwise P/R because it stays LINEAR when a
+    mega-cluster appears (the failure mode it exists to catch, where
+    pairwise F1's O(cluster²) pair materialization explodes).
+    Fixture: gold = source, pred = an ER system that wrongly merges
+    every 10th doc into one 'merged' cluster. Plan: three keyed
+    counts, two dim-sized joins back onto items, one global mean —
+    all map-side combinable, nothing quadratic."""
+    from ..operators.entity_resolution import bcubed_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("item"),
+        F.col("source").alias("gold"),
+        F.when(F.col("doc_id") % 10 == 0, "merged")
+        .otherwise(F.col("source"))
+        .alias("pred"),
+    )
+    return bcubed_scores(items)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
