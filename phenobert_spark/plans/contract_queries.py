@@ -7203,7 +7203,9 @@ def q190(spark, sf_dir):
     """
     WITH items AS (
       SELECT doc_id AS item, source AS gold,
-             CASE WHEN doc_id % 10 = 0 THEN 'merged' ELSE source END AS pred
+             CASE WHEN doc_id % 10 = 0 THEN 'merged'
+                  WHEN doc_id % 7 = 3 THEN source || '_b'
+                  ELSE source END AS pred
       FROM documents
     ), pair AS (
       SELECT gold, pred, COUNT(*) AS n FROM items GROUP BY gold, pred
@@ -7235,7 +7237,9 @@ def q191(spark, sf_dir):
     mega-cluster appears (the failure mode it exists to catch, where
     pairwise F1's O(cluster²) pair materialization explodes).
     Fixture: gold = source, pred = an ER system that wrongly merges
-    every 10th doc into one 'merged' cluster. Plan: three keyed
+    every 10th doc into one 'merged' cluster (precision loss) AND
+    splits a slice of each source into a '_b' shard (recall loss), so
+    both dimensions are non-trivially exercised. Plan: three keyed
     counts, two dim-sized joins back onto items, one global mean —
     all map-side combinable, nothing quadratic."""
     from ..operators.entity_resolution import bcubed_scores
@@ -7245,6 +7249,10 @@ def q191(spark, sf_dir):
         F.col("doc_id").alias("item"),
         F.col("source").alias("gold"),
         F.when(F.col("doc_id") % 10 == 0, "merged")
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("source"), F.lit("_b")),
+        )
         .otherwise(F.col("source"))
         .alias("pred"),
     )
