@@ -7259,6 +7259,109 @@ def q191(spark, sf_dir):
     return bcubed_scores(items)
 
 
+@register(
+    "q192_roc_auc",
+    """
+    WITH scored AS (
+      SELECT (label >= 5)::INT AS y,
+             (vec_id % 11) + label * 2 AS s
+      FROM embeddings
+    ), g AS (
+      SELECT s, COUNT(*) AS n, SUM(y) AS np FROM scored GROUP BY s
+    ), r AS (
+      SELECT np, n,
+             COALESCE(SUM(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM g
+    ), t AS (
+      SELECT SUM(np * (below + (n + 1) / 2.0)) AS rpos,
+             SUM(np) AS npos, SUM(n - np) AS nneg,
+             COUNT(*) AS nds
+      FROM r
+    )
+    SELECT ROUND((rpos - npos * (npos + 1) / 2.0)
+                 / (npos * nneg), 6) AS auc,
+           npos::BIGINT AS n_pos, nneg::BIGINT AS n_neg,
+           nds::BIGINT AS n_distinct_scores
+    FROM t
+    """,
+)
+def q192(spark, sf_dir):
+    """Exact tie-aware ROC-AUC (operators/classification_eval.
+    roc_auc; Mann-Whitney midrank identity) — the threshold-free
+    quality gate for every scored decision the engine emits (linker
+    concept scores, ER match scores, rule confidences). The scale
+    property under test: rows are aggregated to DISTINCT-SCORE level
+    first (map-side combinable), and the only ordered pass runs over
+    the score histogram, never the row set — at 10^12 rows the
+    quantized score cardinality, not the corpus, bounds the window.
+    Fixture: label>=5 is the positive class, score = (vec_id%11) +
+    2*label — integer scores force heavy tie groups so the midrank
+    arithmetic (the part naive rank-based ports get wrong) is what
+    the oracle actually checks, via an independent window-function
+    derivation in DuckDB."""
+    from ..operators.classification_eval import roc_auc
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("int").alias("y"),
+        ((F.col("vec_id") % 11) + F.col("label") * 2).alias("s"),
+    )
+    return roc_auc(e, "y", "s")
+
+
+@register(
+    "q193_cohen_kappa",
+    """
+    WITH items AS (
+      SELECT lang AS a,
+             CASE WHEN doc_id % 6 = 0 THEN 'xx'
+                  WHEN doc_id % 7 = 2 THEN 'en'
+                  ELSE lang END AS b
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM((a = b)::INT) AS agree FROM items
+    ), ma AS (
+      SELECT a AS l, COUNT(*) AS na FROM items GROUP BY a
+    ), mb AS (
+      SELECT b AS l, COUNT(*) AS nb FROM items GROUP BY b
+    ), pe AS (
+      SELECT COALESCE(SUM(na * nb), 0) AS pen FROM ma JOIN mb USING (l)
+    )
+    SELECT ROUND(CASE WHEN pen::DOUBLE / (n * n) < 1 THEN
+                   (agree::DOUBLE / n - pen::DOUBLE / (n * n))
+                   / (1 - pen::DOUBLE / (n * n)) END, 6) AS kappa,
+           ROUND(agree::DOUBLE / n, 6) AS p_observed,
+           ROUND(pen::DOUBLE / (n * n), 6) AS p_expected,
+           n::BIGINT AS n_items
+    FROM tot, pe
+    """,
+)
+def q193(spark, sf_dir):
+    """Cohen's kappa inter-annotator agreement (operators/
+    classification_eval.cohen_kappa) — the statistic an annotation
+    campaign (the reference's GSC+ gold corpus is double-annotated)
+    and any A/B of two pipeline versions reports: chance-corrected
+    label agreement. Fixture: rater A = the document's lang; rater B
+    corrupts every 6th doc to an out-of-space label 'xx' (exercising
+    the disjoint-marginal path, where the label appears in only one
+    rater's space and must contribute zero to p_expected) and every
+    7th≡2 doc to 'en' (a real confusion). Plan: one diagonal count +
+    two marginal counts + a label-cardinality-sized join — every
+    aggregate map-side combinable, nothing row-quadratic."""
+    from ..operators.classification_eval import cohen_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 6 == 0, "xx")
+        .when(F.col("doc_id") % 7 == 2, "en")
+        .otherwise(F.col("lang"))
+        .alias("b"),
+    )
+    return cohen_kappa(pairs, "a", "b")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
