@@ -1,0 +1,160 @@
+"""Code-corpus KG extraction: import-dependency edges and
+identifier-subtoken vocabulary.
+
+The production input is the Iceberg documents table
+``(repo, path, commit, lang, content)`` of source-code files
+(sources/tables.py). Besides the flagship phenotype-mention triples,
+a code-corpus KG wants *structural* triples mined from the code
+itself — ``(file, imports, module)`` dependency edges (the backbone
+of a repo-level dependency graph: license contamination reach,
+build-order layering via kg_metrics.topo layers, PageRank over
+modules) and the identifier vocabulary (the code analog of the text
+pipeline's token stats: subtoken frequencies feed BPE merges
+(q146-style), quality filters, and model vocab construction).
+
+Everything is JVM-side Column algebra — ``regexp_extract_all`` /
+``regexp_replace`` / ``split`` / ``explode`` — a map-only stage until
+the final keyed count, so the 10^12-file pass is embarrassingly
+parallel with map-side-combined aggregation and zero Python in the
+hot path. Language gating happens per-row on the ``lang`` column
+(one ``when`` chain, no per-lang scans).
+
+Regex dialect note: the extraction patterns avoid lookarounds and
+backreferences, so they run identically under java.util.regex
+(Spark) and RE2 (DuckDB); the q194/q195 contracts nevertheless
+verify against an INDEPENDENT arithmetic derivation of the expected
+edges/tokens, not a second regex pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: capture-group-1 import patterns per language. Multiline anchors via
+#: inline (?m); statements must start a line (comments that mention
+#: "import" mid-line don't match).
+IMPORT_PATTERNS: dict[str, list[str]] = {
+    "python": [
+        r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+        r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import",
+    ],
+    "javascript": [
+        r"""require\(['"]([^'"]+)['"]\)""",
+        r"""(?m)^[ \t]*import\b[^\n]*?from[ \t]+['"]([^'"]+)['"]""",
+    ],
+    "java": [
+        r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;",
+    ],
+    "go": [
+        r'(?m)^[ \t]*import[ \t]+"([^"]+)"',
+    ],
+}
+#: lang-column aliases that share a pattern set
+LANG_ALIASES = {"typescript": "javascript", "jsx": "javascript", "tsx": "javascript"}
+
+
+def _patterns_for(lang_col: Column, content_col: Column) -> Column:
+    """Array of imported module strings for one row, gated on lang."""
+    expr = None
+    for lang, pats in IMPORT_PATTERNS.items():
+        langs = [lang] + [a for a, t in LANG_ALIASES.items() if t == lang]
+        arrays = [
+            F.regexp_extract_all(content_col, F.lit(p), 1) for p in pats
+        ]
+        arr = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+        cond = F.lower(lang_col).isin(langs)
+        expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+    return expr.otherwise(F.array().cast("array<string>"))
+
+
+def extract_import_edges(
+    df: DataFrame,
+    repo: str = "repo",
+    path: str = "path",
+    lang: str = "lang",
+    content: str = "content",
+) -> DataFrame:
+    """(repo, path, lang, module) — one row per distinct import edge
+    per file. Map-only until the final distinct (keyed on the edge
+    itself, map-side combinable); unsupported languages contribute
+    zero rows rather than erroring, so a mixed 10^12-file corpus
+    needs no pre-filter pass."""
+    mods = _patterns_for(F.col(lang), F.col(content))
+    return (
+        df.select(
+            F.col(repo).alias("repo"),
+            F.col(path).alias("path"),
+            F.lower(F.col(lang)).alias("lang"),
+            F.explode(mods).alias("module"),
+        )
+        .distinct()
+    )
+
+
+def module_root(module_col: Column) -> Column:
+    """First segment of a module path — ``org.dep2.Cls`` → ``org``,
+    ``github.com/org/dep`` → ``github``, ``./local`` → ``.`` is
+    normalized to the bare relative marker ``.``."""
+    root = F.split(module_col, r"[./]").getItem(0)
+    return F.when(root == "", F.lit(".")).otherwise(root)
+
+
+def import_rollup(edges: DataFrame) -> DataFrame:
+    """Repo-level dependency rollup: (repo, root, n_files, n_imports)
+    — the node table of the repo→dependency KG layer. Two map-side
+    combinable aggregates over the already-distinct edge table."""
+    return (
+        edges.withColumn("root", module_root(F.col("module")))
+        .groupBy("repo", "root")
+        .agg(
+            F.countDistinct("path").alias("n_files"),
+            F.count("*").alias("n_imports"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# identifier vocabulary
+# ---------------------------------------------------------------------------
+
+IDENTIFIER_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def identifier_subtokens(content_col: Column) -> Column:
+    """Array of lowercase subtokens for every identifier in the
+    content: camelCase, PascalCase, SCREAMING_SNAKE, snake_case and
+    acronym runs (``HTTPServer`` → ``http``, ``server``) all split;
+    pure-digit fragments (the ``2`` of ``parse_json_2``) are dropped.
+    Pure Column algebra — evaluated per row inside codegen, no UDF."""
+    ids = F.regexp_extract_all(content_col, F.lit(IDENTIFIER_RE), 0)
+    split_one = lambda s: F.filter(  # noqa: E731
+        F.split(
+            F.lower(
+                F.regexp_replace(
+                    F.regexp_replace(s, r"([a-z0-9])([A-Z])", r"$1 $2"),
+                    r"([A-Z]+)([A-Z][a-z])",
+                    r"$1 $2",
+                )
+            ),
+            r"[_ ]+",
+        ),
+        lambda t: t.rlike("[a-z]"),
+    )
+    return F.flatten(F.transform(ids, split_one))
+
+
+def identifier_vocab(
+    df: DataFrame, content: str = "content"
+) -> DataFrame:
+    """Corpus-wide identifier-subtoken vocabulary: (token, n) counts.
+    The shuffle is keyed on the token with full map-side combine —
+    the same shape as word-count, the canonical linear-scale
+    aggregation."""
+    return (
+        df.select(
+            F.explode(identifier_subtokens(F.col(content))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )

@@ -7362,6 +7362,131 @@ def q193(spark, sf_dir):
     return cohen_kappa(pairs, "a", "b")
 
 
+@register(
+    "q194_import_edges",
+    """
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 4 AS m4,
+             doc_id % 7 AS m7, doc_id % 5 AS m5
+      FROM documents
+    ), e AS (
+      SELECT source AS repo, 'doc_' || doc_id::VARCHAR AS path,
+             CASE m4 WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+                     WHEN 2 THEN 'java' ELSE 'go' END AS lang,
+             unnest(CASE m4
+               WHEN 0 THEN ['mod' || m7::VARCHAR,
+                            'pkg' || m5::VARCHAR || '.sub']
+               WHEN 1 THEN ['lib' || m7::VARCHAR, 'pkg' || m5::VARCHAR]
+               WHEN 2 THEN ['com.example.util' || m7::VARCHAR || '.Util',
+                            'org.dep' || m5::VARCHAR || '.Cls']
+               ELSE ['fmt' || m7::VARCHAR,
+                     'github.com/org/dep' || m5::VARCHAR] END) AS module
+      FROM d
+    )
+    SELECT repo, path, lang, module FROM e
+    ORDER BY repo, path, module
+    """,
+)
+def q194(spark, sf_dir):
+    """Import-dependency edge extraction (operators/code_analysis.
+    extract_import_edges) — the structural-triple miner for the
+    code-corpus KG: (file, imports, module) edges from python /
+    javascript / java / go sources, regex-gated per row on the lang
+    column, map-only until the edge distinct. Fixture: each document
+    becomes a deterministic 4-language source file (two imports each,
+    from doc_id arithmetic, including the java `import static` form
+    and a go quoted path); the oracle derives the expected edge set
+    independently from the same arithmetic — the regexes themselves
+    are what's under test, against a derivation that never runs
+    them."""
+    from ..operators.code_analysis import extract_import_edges
+
+    d = F.col("doc_id")
+    m4, m7, m5 = d % 4, d % 7, d % 5
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), d.cast("string")).alias("path"),
+        F.when(m4 == 0, "python")
+        .when(m4 == 1, "javascript")
+        .when(m4 == 2, "java")
+        .otherwise("go")
+        .alias("lang"),
+        F.when(
+            m4 == 0,
+            F.format_string(
+                "import mod%d\nfrom pkg%d.sub import thing\nx = 1\n",
+                m7, m5,
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.format_string(
+                "const a = require('lib%d')\n"
+                "import x from 'pkg%d'\nlet y = 2\n",
+                m7, m5,
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.format_string(
+                "package p;\nimport static com.example.util%d.Util;\n"
+                "import org.dep%d.Cls;\nclass A {}\n",
+                m7, m5,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                'package main\nimport "fmt%d"\n'
+                'import "github.com/org/dep%d"\nfunc main() {}\n',
+                m7, m5,
+            )
+        )
+        .alias("content"),
+    )
+    return extract_import_edges(files).orderBy("repo", "path", "module")
+
+
+@register(
+    "q195_identifier_vocab",
+    """
+    WITH d AS (
+      SELECT doc_id % 5 AS a, doc_id % 3 AS b FROM documents
+    ), tok AS (
+      SELECT unnest(['get', 'value' || a::VARCHAR, 'parse', 'json',
+                     'http', 'server' || a::VARCHAR,
+                     'max', 'retry', 'count',
+                     'x' || b::VARCHAR]) AS token
+      FROM d
+    )
+    SELECT token, COUNT(*)::BIGINT AS n
+    FROM tok GROUP BY token ORDER BY token
+    """,
+)
+def q195(spark, sf_dir):
+    """Identifier-subtoken vocabulary (operators/code_analysis.
+    identifier_vocab) — the code-corpus analog of token stats:
+    camelCase / snake_case / acronym-run identifiers split to
+    lowercase subtokens, counted corpus-wide (the word-count shuffle
+    shape, fully map-side combinable — the linear-scale baseline).
+    Fixture content per doc: `getValue{a} parse_json_{b}
+    HTTPServer{a} maxRetryCount x{b}` — exercising camel split,
+    snake split with a dropped pure-digit fragment, the
+    HTTP|Server acronym boundary, and digit-suffixed subtokens. The
+    oracle derives expected token counts purely from the doc_id
+    arithmetic; the splitter never runs on the DuckDB side."""
+    from ..operators.code_analysis import identifier_vocab
+
+    d = F.col("doc_id")
+    a, b = d % 5, d % 3
+    files = _t(spark, sf_dir, "documents").select(
+        F.format_string(
+            "getValue%d parse_json_%d HTTPServer%d maxRetryCount x%d",
+            a, b, a, b,
+        ).alias("content")
+    )
+    return identifier_vocab(files).orderBy("token")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

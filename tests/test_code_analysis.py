@@ -1,0 +1,139 @@
+from phenobert_spark.operators.code_analysis import (
+    extract_import_edges,
+    identifier_subtokens,
+    identifier_vocab,
+    import_rollup,
+)
+
+from pyspark.sql import functions as F
+
+PY = """\
+import os
+import numpy.linalg
+from collections import OrderedDict
+  from pkg.sub import thing
+x = 1  # import not_a_real_import (mid-line comment)
+print("import fake")
+"""
+
+JS = """\
+const fs = require('fs')
+import {x} from './local/mod'
+import Default from "pkg"
+// require('commented')  <- still matches: require() anywhere is a dep
+let y = 2
+"""
+
+JAVA = """\
+package com.example;
+import java.util.List;
+import static org.junit.Assert.assertTrue;
+class A {}
+"""
+
+GO = """\
+package main
+import "fmt"
+import "github.com/org/dep"
+func main() {}
+"""
+
+
+def _edges(spark, rows):
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    return {
+        (r.path, r.module)
+        for r in extract_import_edges(df).collect()
+    }
+
+
+def test_python_imports(spark):
+    got = _edges(spark, [("r", "a.py", "python", PY)])
+    assert got == {
+        ("a.py", "os"),
+        ("a.py", "numpy.linalg"),
+        ("a.py", "collections"),
+        ("a.py", "pkg.sub"),
+    }
+
+
+def test_js_imports_incl_require_anywhere(spark):
+    got = _edges(spark, [("r", "a.js", "javascript", JS)])
+    assert got == {
+        ("a.js", "fs"),
+        ("a.js", "./local/mod"),
+        ("a.js", "pkg"),
+        ("a.js", "commented"),
+    }
+
+
+def test_java_and_go_and_unknown_lang(spark):
+    got = _edges(
+        spark,
+        [
+            ("r", "A.java", "java", JAVA),
+            ("r", "m.go", "go", GO),
+            ("r", "x.rb", "ruby", "require 'x'"),
+        ],
+    )
+    assert got == {
+        ("A.java", "java.util.List"),
+        ("A.java", "org.junit.Assert.assertTrue"),
+        ("m.go", "fmt"),
+        ("m.go", "github.com/org/dep"),
+    }
+
+
+def test_typescript_alias_and_distinct(spark):
+    # the same import twice in one file -> one edge
+    ts = "import a from 'x'\nimport b from 'x'\n"
+    got = _edges(spark, [("r", "a.ts", "typescript", ts)])
+    assert got == {("a.ts", "x")}
+
+
+def test_import_rollup_roots(spark):
+    df = spark.createDataFrame(
+        [
+            ("r1", "a.py", "python", "import numpy.linalg\nimport numpy\n"),
+            ("r1", "b.py", "python", "import numpy\n"),
+            ("r1", "m.go", "go", 'import "github.com/org/dep"\n'),
+        ],
+        "repo string, path string, lang string, content string",
+    )
+    roll = {
+        (r.repo, r.root): (r.n_files, r.n_imports)
+        for r in import_rollup(extract_import_edges(df)).collect()
+    }
+    assert roll[("r1", "numpy")] == (2, 3)
+    assert roll[("r1", "github")] == (1, 1)
+
+
+def test_identifier_subtokens_shapes(spark):
+    df = spark.createDataFrame(
+        [("getValue3 parse_json_2 HTTPServer maxRetryCount X y _private",)],
+        "content string",
+    )
+    toks = df.select(
+        F.explode(identifier_subtokens(F.col("content"))).alias("t")
+    )
+    got = sorted(r.t for r in toks.collect())
+    assert got == sorted(
+        [
+            "get", "value3",
+            "parse", "json",          # the pure-digit '2' is dropped
+            "http", "server",         # acronym-run split
+            "max", "retry", "count",
+            "x", "y", "private",
+        ]
+    )
+
+
+def test_identifier_vocab_counts(spark):
+    df = spark.createDataFrame(
+        [("getX getY",), ("get_z getX",)], "content string"
+    )
+    counts = {r.token: r.n for r in identifier_vocab(df).collect()}
+    assert counts["get"] == 4
+    assert counts["x"] == 2 and counts["y"] == 1 and counts["z"] == 1
