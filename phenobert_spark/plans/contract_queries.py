@@ -7487,6 +7487,161 @@ def q195(spark, sf_dir):
     return identifier_vocab(files).orderBy("token")
 
 
+@register(
+    "q196_zorder_layout",
+    """
+    WITH xy AS (
+      SELECT o_orderkey AS id,
+             o_custkey % 65536 AS x,
+             date_diff('day', DATE '1992-01-01', o_orderdate) % 65536 AS y
+      FROM orders
+    ), z AS (
+      SELECT id,
+             SUM((((x >> i) & 1)::BIGINT << (2 * i + 1))
+                 + (((y >> i) & 1)::BIGINT << (2 * i)))::BIGINT AS zkey
+      FROM xy, range(16) t(i)
+      GROUP BY id
+    )
+    SELECT id, zkey,
+           ntile(64) OVER (ORDER BY zkey, id) AS file_id
+    FROM z ORDER BY id
+    """,
+)
+def q196(spark, sf_dir):
+    """Z-order layout keys (operators/layout.morton_key +
+    assign_zorder_files; Morton 1966, the Iceberg rewrite-zorder /
+    Delta OPTIMIZE ZORDER strategy) — bit-interleave (custkey,
+    order-date-day) and assign range-bucketed file numbers, so
+    min-max zone maps prune scans on EITHER dimension. The Morton key
+    is 32 static shift-and-mask terms inside whole-stage codegen (no
+    UDF); the oracle recomputes every bit via a range(16) lateral in
+    DuckDB — independent arithmetic, same bits. The exact ntile form
+    is the contract twin of the sampled repartitionByRange the
+    10^12-row write path uses (exact=False, covered in pytest)."""
+    from ..operators.layout import assign_zorder_files, morton_key
+
+    xy = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_custkey") % 65536).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+            % 65536
+        ).alias("y"),
+    )
+    z = xy.select(
+        "id", morton_key(F.col("x"), F.col("y"), bits=16).alias("zkey")
+    )
+    return (
+        assign_zorder_files(z, "id", n_files=64, exact=True)
+        .select("id", "zkey", F.col("file_id").cast("long").alias("file_id"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "q197_retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) / 7.0) AS BIGINT)
+               AS p
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(p) AS cohort_period FROM uw GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_period, COUNT(*) AS cohort_size
+      FROM cohorts GROUP BY cohort_period
+    ), per_offset AS (
+      SELECT c.cohort_period, uw.p - c.cohort_period AS period_offset,
+             COUNT(*) AS n_users
+      FROM uw JOIN cohorts c USING (user_id)
+      GROUP BY c.cohort_period, uw.p - c.cohort_period
+    )
+    SELECT p.cohort_period, p.period_offset,
+           p.n_users::BIGINT AS n_users,
+           s.cohort_size::BIGINT AS cohort_size,
+           ROUND(p.n_users::DOUBLE / s.cohort_size, 6) AS retention
+    FROM per_offset p JOIN sizes s USING (cohort_period)
+    ORDER BY cohort_period, period_offset
+    """,
+)
+def q197(spark, sf_dir):
+    """Weekly retention cohorts (operators/cohorts.retention_cohorts)
+    — the canonical product-analytics rollup: users bucketed by the
+    week of their first event (anchored on an explicit epoch, never
+    runtime now(), so the contract is deterministic), then per
+    cohort × week-offset the share that returned. Two map-side
+    combinable shuffles (user-keyed distinct+min, then the
+    periods²-cardinality count) and one broadcast join — nothing
+    scales with event count except the linear first pass."""
+    from ..operators.cohorts import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev).orderBy("cohort_period", "period_offset")
+
+
+@register(
+    "q198_last_touch_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             t.ts AS tts, t.event_type AS ttype,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_type DESC
+             ) AS rn
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT event_id, user_id, ttype AS touch_type, tts AS touch_ts
+    FROM j WHERE rn = 1 OR rn IS NULL
+    ORDER BY event_id
+    """,
+)
+def q198(spark, sf_dir):
+    """Last-touch attribution (composition: operators/asof.asof_join
+    with tolerance) — for every purchase, the latest view/click by
+    the same user within 7 days. The Spark plan is the as-of union +
+    one-ordered-window form (one shuffle, linear, no range join);
+    the oracle is DELIBERATELY the naive correlated form (inequality
+    join + row_number) so the two derivations share nothing. The
+    tiebreak at equal timestamps is max(event_type) on both sides —
+    the determinism the as-of contract requires."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", F.col("event_type").alias("touch")
+    )
+    out = asof_join(
+        p,
+        t,
+        key="user_id",
+        ts="ts",
+        right_cols=["touch"],
+        tiebreak="touch",
+        tolerance=F.expr("INTERVAL 7 DAY"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("matched_touch").alias("touch_type"),
+        F.col("matched_ts").alias("touch_ts"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
