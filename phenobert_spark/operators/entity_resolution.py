@@ -408,3 +408,62 @@ def bcubed_scores(
         ).alias("bcubed_f1"),
         "n_items",
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_items: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Blocking-scheme quality report (Christen 2012's standard
+    trio): how much of the quadratic pair space a blocking key throws
+    away (reduction ratio), how many TRUE matches survive it (pairs
+    completeness — the recall ceiling of everything downstream), and
+    how dense the surviving candidates are in true matches (pairs
+    quality). The decision metric for choosing blocking keys BEFORE
+    paying for a 10^12-item ER run — a key with RR 0.999 but PC 0.7
+    silently caps the KG's merge recall at 70%.
+
+    Inputs: candidate pairs and gold pairs (any orientation or
+    duplication — both are canonicalized to unordered distinct
+    pairs), plus the item universe size. Returns one row
+    ``(n_items, n_candidates, n_gold, n_hit, reduction_ratio,
+    pairs_completeness, pairs_quality)``, rates rounded to 6.
+
+    Plan: two distincts keyed on the pair, one pair-keyed join for
+    the hit count, three scalar aggregates — linear in the pair
+    tables, with the quadratic total-pair-space appearing only as
+    the arithmetic constant n(n-1)/2.
+    """
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+        ).distinct()
+
+    c, g = _canon(candidates), _canon(gold)
+    hit = c.join(g, on=["_a", "_b"], how="inner")
+    stats = (
+        c.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(g.agg(F.count("*").alias("n_gold")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    total_pairs = n_items * (n_items - 1) / 2.0
+    return stats.select(
+        F.lit(int(n_items)).cast("long").alias("n_items"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(1.0 - F.col("n_candidates") / F.lit(total_pairs), 6).alias(
+            "reduction_ratio"
+        ),
+        F.round(F.col("n_hit") / F.col("n_gold"), 6).alias(
+            "pairs_completeness"
+        ),
+        F.round(F.col("n_hit") / F.col("n_candidates"), 6).alias(
+            "pairs_quality"
+        ),
+    )

@@ -7642,6 +7642,90 @@ def q198(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@register(
+    "q199_blocking_quality",
+    """
+    WITH base AS (
+      SELECT p_partkey AS k, p_name, p_brand FROM part
+    ), items AS (
+      SELECT k * 2 AS id, p_name AS name, p_brand AS bk FROM base
+      UNION ALL
+      SELECT k * 2 + 1,
+             CASE WHEN k % 5 = 0 THEN 'zz ' || p_name ELSE p_name END,
+             p_brand
+      FROM base
+    ), keyed AS (
+      SELECT id, name, bk, split_part(name, ' ', 1) AS tok FROM items
+    ), cand AS (
+      SELECT a.id AS ca, b.id AS cb
+      FROM keyed a JOIN keyed b
+        ON a.bk = b.bk AND a.tok = b.tok AND a.id < b.id
+    ), gold AS (
+      SELECT k * 2 AS ga, k * 2 + 1 AS gb FROM base
+    ), counts AS (
+      SELECT (SELECT COUNT(*) FROM items) AS n,
+             (SELECT COUNT(*) FROM cand) AS nc,
+             (SELECT COUNT(*) FROM gold) AS ng,
+             (SELECT COUNT(*) FROM cand
+                JOIN gold ON ca = ga AND cb = gb) AS nh
+    )
+    SELECT n::BIGINT AS n_items, nc::BIGINT AS n_candidates,
+           ng::BIGINT AS n_gold, nh::BIGINT AS n_hit,
+           ROUND(1 - nc / (n * (n - 1) / 2.0), 6) AS reduction_ratio,
+           ROUND(nh::DOUBLE / ng, 6) AS pairs_completeness,
+           ROUND(nh::DOUBLE / nc, 6) AS pairs_quality
+    FROM counts
+    """,
+)
+def q199(spark, sf_dir):
+    """Blocking-scheme quality report (operators/entity_resolution.
+    blocking_quality; Christen 2012's reduction-ratio / pairs-
+    completeness / pairs-quality trio) — the metric that decides a
+    blocking key BEFORE a 10^12-item ER run, since PC is the recall
+    ceiling of every downstream merge. Fixture: each part is
+    duplicated into a gold pair; every 5th duplicate's name gains a
+    'zz ' prefix, so the (brand, first-token) blocking key provably
+    misses those pairs (PC < 1) while the 'zz' token itself forms
+    junk blocks (PQ < 1). Candidates come from the production
+    blocked_matches composition; the oracle rebuilds the same
+    candidate space with a plain SQL self-join."""
+    from ..operators.entity_resolution import (
+        blocked_matches,
+        blocking_quality,
+    )
+
+    base = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = base.select(
+        (F.col("p_partkey") * 2).alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("bk"),
+    )
+    b = base.select(
+        (F.col("p_partkey") * 2 + 1).alias("id"),
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.concat(F.lit("zz "), F.col("p_name")),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+        F.col("p_brand").alias("bk"),
+    )
+    items = a.unionByName(b)
+    cand = blocked_matches(
+        items,
+        id_col="id",
+        name_col="name",
+        block_cols=[F.col("bk"), F.substring_index(F.col("name"), " ", 1)],
+        max_edit=10_000,
+    )
+    gold = base.select(
+        (F.col("p_partkey") * 2).alias("id_a"),
+        (F.col("p_partkey") * 2 + 1).alias("id_b"),
+    )
+    n_items = 2 * base.count()
+    return blocking_quality(cand, gold, n_items=n_items)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -275,3 +275,30 @@ def test_sorted_neighborhood_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, name string")
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_matches(df, "id", "name", window=1)
+
+
+def test_blocking_quality_hand_computed(spark):
+    from phenobert_spark.operators.entity_resolution import blocking_quality
+
+    # 6 items, gold = {(1,2),(3,4),(5,6)}; candidates from a blocking
+    # key that keeps (1,2),(3,4) but misses (5,6) and adds junk (1,3)
+    cand = spark.createDataFrame(
+        [(2, 1), (3, 4), (1, 3), (3, 4)], "id_a long, id_b long"
+    )  # unordered + duplicated on purpose
+    gold = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, gold, n_items=6).collect()[0]
+    assert (r.n_candidates, r.n_gold, r.n_hit) == (3, 3, 2)
+    assert r.reduction_ratio == round(1 - 3 / 15, 6)
+    assert r.pairs_completeness == round(2 / 3, 6)
+    assert r.pairs_quality == round(2 / 3, 6)
+
+
+def test_blocking_quality_perfect_blocking(spark):
+    from phenobert_spark.operators.entity_resolution import blocking_quality
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    r = blocking_quality(pairs, pairs, n_items=4).collect()[0]
+    assert r.pairs_completeness == 1.0 and r.pairs_quality == 1.0
+    assert r.reduction_ratio == round(1 - 2 / 6, 6)
