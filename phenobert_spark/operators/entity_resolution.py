@@ -467,3 +467,56 @@ def blocking_quality(
             "pairs_quality"
         ),
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Fellegi-Sunter (1969) match/non-match agreement weights — the
+    probabilistic record-linkage scoring that turns per-feature
+    agreement bits into additive log-odds evidence. For each feature:
+    ``m`` = P(agree | match), ``u`` = P(agree | non-match), and the
+    pair score adds ``w_agree = log2(m/u)`` on agreement,
+    ``w_disagree = log2((1-m)/(1-u))`` on disagreement. Estimated
+    here from labeled candidate pairs with add-half smoothing
+    (``(k + 0.5)/(n + 1)``) so degenerate features (always/never
+    agreeing) stay finite and the estimate is a pure closed form any
+    engine reproduces (q200's oracle does).
+
+    Plan: one melt (explode of a features-sized struct array — row
+    growth x|features|, a constant) and one feature-keyed aggregate,
+    fully map-side combinable; |features| rows out. Linear in the
+    candidate-pair table, which blocking already bounded.
+    """
+    lab = F.col(label_col).cast("int")
+    melted = pairs.select(
+        lab.alias("_y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feature"),
+                        F.col(f).cast("int").alias("agree"),
+                    )
+                    for f in feature_cols
+                ]
+            )
+        ).alias("_f"),
+    ).select("_y", "_f.feature", "_f.agree")
+    g = melted.groupBy("feature").agg(
+        F.sum("_y").alias("_nm"),
+        F.sum(1 - F.col("_y")).alias("_nu"),
+        F.sum(F.col("agree") * F.col("_y")).alias("_am"),
+        F.sum(F.col("agree") * (1 - F.col("_y"))).alias("_au"),
+    )
+    m = (F.col("_am") + 0.5) / (F.col("_nm") + 1.0)
+    u = (F.col("_au") + 0.5) / (F.col("_nu") + 1.0)
+    return g.select(
+        "feature",
+        F.round(m, 6).alias("m"),
+        F.round(u, 6).alias("u"),
+        F.round(F.log2(m / u), 6).alias("w_agree"),
+        F.round(F.log2((1 - m) / (1 - u)), 6).alias("w_disagree"),
+    )

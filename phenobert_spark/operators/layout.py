@@ -62,3 +62,33 @@ def assign_zorder_files(
         return df.withColumn("file_id", F.ntile(n_files).over(w))
     parts = df.repartitionByRange(n_files, F.col(zkey_col), F.col(id_col))
     return parts.withColumn("file_id", F.spark_partition_id() + 1)
+
+
+def zone_map_stats(
+    df: DataFrame, file_col: str, value_col: str
+) -> DataFrame:
+    """Per-file min/max zone map for one column — what a parquet
+    footer / Iceberg manifest stores. One map-side-combinable
+    aggregate; output cardinality = file count."""
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
+    )
+
+
+def scan_counts(zones: DataFrame, ranges: DataFrame) -> DataFrame:
+    """For each predicate range (``range_id``, ``lo``, ``hi``): the
+    number of files whose [vmin, vmax] zone overlaps it — i.e. the
+    files a zone-map-pruned scan must actually read. ``zones`` is
+    file-count-sized and broadcast; the join is range-count x
+    file-count, both tiny metadata tables. This is the planner-side
+    arithmetic that quantifies a layout (q201 uses it to show Z-order
+    beating insertion order on the same predicates)."""
+    return (
+        ranges.join(
+            F.broadcast(zones),
+            on=(F.col("vmin") <= F.col("hi")) & (F.col("vmax") >= F.col("lo")),
+            how="left",
+        )
+        .groupBy("range_id", "lo", "hi")
+        .agg(F.count("file_id").alias("files_scanned"))
+    )

@@ -7726,6 +7726,198 @@ def q199(spark, sf_dir):
     return blocking_quality(cand, gold, n_items=n_items)
 
 
+@register(
+    "q200_fellegi_sunter",
+    """
+    WITH base AS (
+      SELECT p_partkey AS k, p_name, p_brand FROM part
+    ), items AS (
+      SELECT k * 2 AS id, p_name AS name, p_brand AS bk FROM base
+      UNION ALL
+      SELECT k * 2 + 1,
+             CASE WHEN k % 5 = 0 THEN 'zz ' || p_name ELSE p_name END,
+             p_brand
+      FROM base
+    ), keyed AS (
+      SELECT id, name, bk, split_part(name, ' ', 1) AS tok FROM items
+    ), cand AS (
+      SELECT a.id AS ca, b.id AS cb, a.name AS na, b.name AS nb
+      FROM keyed a JOIN keyed b
+        ON a.bk = b.bk AND a.tok = b.tok AND a.id < b.id
+    ), feat AS (
+      SELECT CASE WHEN cb = ca + 1 AND ca % 2 = 0 THEN 1 ELSE 0 END AS y,
+             (na = nb)::INT AS f_name_eq,
+             (length(na) = length(nb))::INT AS f_len_eq,
+             (levenshtein(na, nb) <= 2)::INT AS f_edit_le2
+      FROM cand
+    ), melt AS (
+      SELECT y,
+             unnest(['f_edit_le2', 'f_len_eq', 'f_name_eq']) AS feature,
+             unnest([f_edit_le2, f_len_eq, f_name_eq]) AS agree
+      FROM feat
+    ), g AS (
+      SELECT feature, SUM(y) AS nm, SUM(1 - y) AS nu,
+             SUM(agree * y) AS am, SUM(agree * (1 - y)) AS au
+      FROM melt GROUP BY feature
+    )
+    SELECT feature,
+           ROUND((am + 0.5) / (nm + 1.0), 6) AS m,
+           ROUND((au + 0.5) / (nu + 1.0), 6) AS u,
+           ROUND(log2(((am + 0.5) / (nm + 1.0))
+                      / ((au + 0.5) / (nu + 1.0))), 6) AS w_agree,
+           ROUND(log2((1 - (am + 0.5) / (nm + 1.0))
+                      / (1 - (au + 0.5) / (nu + 1.0))), 6) AS w_disagree
+    FROM g ORDER BY feature
+    """,
+)
+def q200(spark, sf_dir):
+    """Fellegi-Sunter record-linkage weights (operators/
+    entity_resolution.fellegi_sunter_weights; Fellegi & Sunter 1969)
+    — per-feature m/u probabilities and log-odds agreement weights
+    estimated from labeled candidate pairs, the probabilistic scoring
+    layer on top of blocking (q199) and the decision rule real ER
+    systems (Splink et al.) run at census scale. Fixture: the q199
+    duplicated-parts candidate space, label = is-the-true-duplicate,
+    features = exact-name, equal-length, edit-distance<=2. Add-half
+    smoothing keeps degenerate features finite; the oracle recomputes
+    the whole estimator in SQL, melt and all."""
+    from ..operators.entity_resolution import (
+        blocked_matches,
+        fellegi_sunter_weights,
+    )
+
+    base = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = base.select(
+        (F.col("p_partkey") * 2).alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("bk"),
+    )
+    b = base.select(
+        (F.col("p_partkey") * 2 + 1).alias("id"),
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.concat(F.lit("zz "), F.col("p_name")),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+        F.col("p_brand").alias("bk"),
+    )
+    cand = blocked_matches(
+        a.unionByName(b),
+        id_col="id",
+        name_col="name",
+        block_cols=[F.col("bk"), F.substring_index(F.col("name"), " ", 1)],
+        max_edit=10_000,
+    )
+    pairs = cand.select(
+        (
+            (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0)
+        )
+        .cast("int")
+        .alias("y"),
+        (F.col("name_a") == F.col("name_b")).alias("f_name_eq"),
+        (F.length("name_a") == F.length("name_b")).alias("f_len_eq"),
+        (F.col("edit_dist") <= 2).alias("f_edit_le2"),
+    )
+    return fellegi_sunter_weights(
+        pairs, "y", ["f_edit_le2", "f_len_eq", "f_name_eq"]
+    ).orderBy("feature")
+
+
+@register(
+    "q201_zone_map_pruning",
+    """
+    WITH xy AS (
+      SELECT o_orderkey AS id,
+             (o_custkey * 37) % 65536 AS x,
+             (date_diff('day', DATE '1992-01-01', o_orderdate) * 53)
+               % 65536 AS y
+      FROM orders
+    ), z AS (
+      SELECT id, x,
+             SUM((((x >> i) & 1)::BIGINT << (2 * i + 1))
+                 + (((y >> i) & 1)::BIGINT << (2 * i)))::BIGINT AS zkey
+      FROM xy, range(16) t(i)
+      GROUP BY id, x, y
+    ), zf AS (
+      SELECT x, ntile(64) OVER (ORDER BY zkey, id) AS file_id FROM z
+    ), nf AS (
+      SELECT x, ntile(64) OVER (ORDER BY id) AS file_id FROM xy
+    ), zz AS (
+      SELECT file_id, MIN(x) AS vmin, MAX(x) AS vmax FROM zf
+      GROUP BY file_id
+    ), zn AS (
+      SELECT file_id, MIN(x) AS vmin, MAX(x) AS vmax FROM nf
+      GROUP BY file_id
+    ), ranges AS (
+      SELECT i AS range_id, i * 8192 AS lo, i * 8192 + 8191 AS hi
+      FROM range(8) t(i)
+    )
+    SELECT r.range_id, r.lo, r.hi,
+           (SELECT COUNT(*) FROM zz
+             WHERE zz.vmin <= r.hi AND zz.vmax >= r.lo)::BIGINT
+             AS files_zorder,
+           (SELECT COUNT(*) FROM zn
+             WHERE zn.vmin <= r.hi AND zn.vmax >= r.lo)::BIGINT
+             AS files_naive
+    FROM ranges r ORDER BY range_id
+    """,
+)
+def q201(spark, sf_dir):
+    """Zone-map pruning payoff (operators/layout.zone_map_stats +
+    scan_counts) — the measurable consequence of q196's Z-order
+    layout: per-file min/max zones on the custkey dimension, probed
+    by 8 range predicates covering the key space, for BOTH the
+    Z-ordered layout and the insertion-order layout of the same 64
+    files. Insertion order leaves every file's zone spanning the
+    whole domain (nothing prunes); Z-order confines each x-octile to
+    the files sharing its bit prefix — the scan-cost arithmetic an
+    Iceberg planner would do from manifests, computed here over
+    metadata-sized tables (64 zones x 8 ranges, broadcast)."""
+    from ..operators.layout import (
+        assign_zorder_files,
+        morton_key,
+        scan_counts,
+        zone_map_stats,
+    )
+
+    xy = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_custkey") * 37) % 65536).alias("x"),
+        (
+            (
+                F.datediff(
+                    F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+                )
+                * 53
+            )
+            % 65536
+        ).alias("y"),
+    )
+    z = xy.select(
+        "id", "x", morton_key(F.col("x"), F.col("y"), bits=16).alias("zkey")
+    )
+    zf = assign_zorder_files(z, "id", n_files=64, exact=True)
+    nf = assign_zorder_files(
+        xy.withColumn("zkey", F.col("id")), "id", n_files=64, exact=True
+    )
+    ranges = spark.range(8).select(
+        F.col("id").alias("range_id"),
+        (F.col("id") * 8192).alias("lo"),
+        (F.col("id") * 8192 + 8191).alias("hi"),
+    )
+    sz = scan_counts(zone_map_stats(zf, "file_id", "x"), ranges).select(
+        "range_id", "lo", "hi",
+        F.col("files_scanned").alias("files_zorder"),
+    )
+    sn = scan_counts(zone_map_stats(nf, "file_id", "x"), ranges).select(
+        "range_id", F.col("files_scanned").alias("files_naive")
+    )
+    return sz.join(sn, on="range_id").orderBy("range_id").select(
+        "range_id", "lo", "hi", "files_zorder", "files_naive"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -302,3 +302,37 @@ def test_blocking_quality_perfect_blocking(spark):
     r = blocking_quality(pairs, pairs, n_items=4).collect()[0]
     assert r.pairs_completeness == 1.0 and r.pairs_quality == 1.0
     assert r.reduction_ratio == round(1 - 2 / 6, 6)
+
+
+def test_fellegi_sunter_hand_computed(spark):
+    import math
+
+    from phenobert_spark.operators.entity_resolution import (
+        fellegi_sunter_weights,
+    )
+
+    # 4 matches (3 agree on f1), 6 non-matches (1 agrees on f1)
+    rows = (
+        [(1, True)] * 3 + [(1, False)] * 1
+        + [(0, True)] * 1 + [(0, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "y int, f1 boolean")
+    r = fellegi_sunter_weights(df, "y", ["f1"]).collect()[0]
+    m = (3 + 0.5) / (4 + 1)
+    u = (1 + 0.5) / (6 + 1)
+    assert r.m == round(m, 6) and r.u == round(u, 6)
+    assert r.w_agree == round(math.log2(m / u), 6)
+    assert r.w_disagree == round(math.log2((1 - m) / (1 - u)), 6)
+
+
+def test_fellegi_sunter_degenerate_feature_finite(spark):
+    from phenobert_spark.operators.entity_resolution import (
+        fellegi_sunter_weights,
+    )
+
+    # feature always agrees -> smoothing keeps weights finite
+    rows = [(1, True)] * 3 + [(0, True)] * 3
+    df = spark.createDataFrame(rows, "y int, f boolean")
+    r = fellegi_sunter_weights(df, "y", ["f"]).collect()[0]
+    assert r.m < 1.0 and r.u < 1.0
+    assert abs(r.w_agree) < 10 and abs(r.w_disagree) < 10

@@ -86,3 +86,46 @@ def test_retention_custom_period(spark):
     got = retention_cohorts(df, period_days=1).collect()
     by = {(r.cohort_period, r.period_offset): r.n_users for r in got}
     assert by[(0, 0)] == 2 and by[(0, 1)] == 1
+
+
+def test_zone_map_pruning_zorder_beats_naive(spark):
+    from phenobert_spark.operators.layout import (
+        assign_zorder_files,
+        morton_key,
+        scan_counts,
+        zone_map_stats,
+    )
+
+    # 1024 rows on a 32x32 grid; zorder vs insertion-order layout
+    rows = [(i, i % 32, (i * 7) % 32) for i in range(1024)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    z = df.withColumn("zkey", morton_key(F.col("x"), F.col("y"), bits=5))
+    zf = assign_zorder_files(z, "id", n_files=16, exact=True)
+    nf = assign_zorder_files(
+        df.withColumn("zkey", F.col("id")), "id", n_files=16, exact=True
+    )
+    ranges = spark.createDataFrame(
+        [(k, k * 8, k * 8 + 7) for k in range(4)], "range_id long, lo long, hi long"
+    )
+    sz = {
+        r.range_id: r.files_scanned
+        for r in scan_counts(zone_map_stats(zf, "file_id", "x"), ranges).collect()
+    }
+    sn = {
+        r.range_id: r.files_scanned
+        for r in scan_counts(zone_map_stats(nf, "file_id", "x"), ranges).collect()
+    }
+    # naive layout: x cycles 0..31 within every file -> nothing prunes
+    assert all(v == 16 for v in sn.values())
+    # zorder layout: each x-octile touches a strict subset of files
+    assert all(v < 16 for v in sz.values())
+    assert sum(sz.values()) < sum(sn.values())
+
+
+def test_scan_counts_no_overlap_is_zero(spark):
+    from phenobert_spark.operators.layout import scan_counts
+
+    zones = spark.createDataFrame([(1, 0, 9)], "file_id long, vmin long, vmax long")
+    ranges = spark.createDataFrame([(0, 100, 200)], "range_id long, lo long, hi long")
+    r = scan_counts(zones, ranges).collect()[0]
+    assert r.files_scanned == 0
