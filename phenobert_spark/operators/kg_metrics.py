@@ -1613,3 +1613,45 @@ def pathsim_topk(
         .filter(F.col("rank") <= k)
         .select("anchor", "partner", "common_b", "pathsim", "rank")
     )
+
+
+def two_sweep_diameter(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact diameter LOWER BOUND by the classic double-sweep BFS
+    (Magnien/Latapy/Habib 2009): BFS from a deterministic pivot (the
+    minimum node id), hop to the farthest node found (ties broken by
+    min id), BFS again — the second eccentricity is a lower bound
+    that is exact on trees and empirically tight on real graphs,
+    at the cost of TWO BFS passes instead of all-pairs. Complements
+    q169's HyperBall (probabilistic effective diameter) with an
+    exact-arithmetic bound.
+
+    Edges are treated as undirected (symmetrized + distinct).
+    Returns one row ``(pivot, far_node, diameter_lb, n_reached)``;
+    ``n_reached`` is the pivot's component size — on a disconnected
+    graph the bound applies to that component.
+
+    Fully declarative: pivot and farthest node are ``orderBy().
+    limit(1)`` TakeOrdered plans, never a driver collect; each BFS is
+    the q122-verified semi-naive frontier join.
+    """
+    from .closure import bfs_distances
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    und = e.unionByName(
+        e.select(F.col("_t").alias("_s"), F.col("_s").alias("_t"))
+    ).distinct()
+    sources = (
+        und.select("_s").distinct().orderBy("_s").limit(1)
+    )
+    d1 = bfs_distances(und, sources, src="_s", dst="_t")
+    far = d1.orderBy(F.desc("dist"), "node").limit(1).select("node")
+    d2 = bfs_distances(und, far, src="_s", dst="_t")
+    p = sources.select(F.col("_s").alias("pivot"))
+    f = far.select(F.col("node").alias("far_node"))
+    m = d2.agg(
+        F.max("dist").cast("long").alias("diameter_lb"),
+        F.count("*").cast("long").alias("n_reached"),
+    )
+    return p.crossJoin(f).crossJoin(m)

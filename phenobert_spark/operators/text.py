@@ -711,3 +711,43 @@ def pii_redact(
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column —
+    the hygiene pass a multilingual web corpus runs before ANY
+    string-keyed operation: the same visible string in composed vs
+    decomposed form (``é`` vs ``e``+U+0301) hashes, dedups, joins and
+    tokenizes as two different keys until normalized. The JVM has no
+    built-in normalizer Column, so this is a declared Python
+    boundary: a vectorized Arrow ``pandas_udf`` (batch transfer, no
+    per-row pickling) over ``unicodedata.normalize`` — map-only, no
+    shuffle, the one stage shape where a pandas UDF's Arrow cost is
+    a pure stream. Cross-engine exact: DuckDB's ``nfc_normalize``
+    reproduces the NFC form byte-for-byte (q202).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    if out_col in df.columns:
+        raise ValueError(f"output column already exists: {out_col}")
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, StringType())]
+    )
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(
+                lambda x: None if x is None else unicodedata.normalize(form, x)
+            )
+            yield pdf
+
+    return df.mapInPandas(_norm, out_schema)

@@ -7918,6 +7918,130 @@ def q201(spark, sf_dir):
     )
 
 
+@register(
+    "q202_unicode_nfc",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'word Caf' ||
+             CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE 'e' END
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(t) AS text_norm,
+           (nfc_normalize(t) <> t) AS changed,
+           length(t)::BIGINT AS n_chars_raw,
+           length(nfc_normalize(t))::BIGINT AS n_chars_norm
+    FROM raw ORDER BY doc_id
+    """,
+)
+def q202(spark, sf_dir):
+    """Unicode NFC normalization (operators/text.normalize_unicode)
+    — composed-vs-decomposed hygiene before any string-keyed dedup /
+    join / tokenization: even docs carry a DECOMPOSED 'e'+U+0301
+    that must compose to the single codepoint é, odd docs are
+    already-NFC controls that must pass through byte-identical. The
+    JVM has no normalizer Column, so this is the declared Arrow
+    pandas-UDF boundary (vectorized batch, map-only, no shuffle);
+    DuckDB's native nfc_normalize reproduces the NFC bytes exactly,
+    making the value-hash a true cross-engine check of the
+    normalization itself plus the char-length change it causes."""
+    from ..operators.text import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("word Caf"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("é")
+            ).otherwise(F.lit("e")),
+        ).alias("t"),
+    )
+    out = normalize_unicode(d, text_col="t", form="NFC")
+    return out.select(
+        "doc_id",
+        "text_norm",
+        (F.col("text_norm") != F.col("t")).alias("changed"),
+        F.length("t").cast("long").alias("n_chars_raw"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q203_two_sweep_diameter",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey AS k, o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 300
+    ), lim AS (
+      SELECT k, o_custkey, rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      FROM ranked WHERE rn <= 12
+    ), lim2 AS (
+      SELECT * FROM lim WHERE cnt >= 2
+    ), p AS (
+      SELECT * FROM lim2 WHERE k = (SELECT MIN(k) FROM lim2)
+    ), chain AS (
+      SELECT * FROM lim2
+      WHERE o_custkey = (SELECT o_custkey FROM p)
+    ), ends AS (
+      SELECT (SELECT k FROM chain WHERE rn = 1) AS k1,
+             (SELECT k FROM chain
+               WHERE rn = (SELECT MAX(rn) FROM chain)) AS kn,
+             (SELECT COUNT(*) FROM chain) AS n
+    )
+    SELECT p.k::BIGINT AS pivot,
+           CASE WHEN (p.rn - 1) > (ends.n - p.rn) THEN ends.k1
+                WHEN (p.rn - 1) < (ends.n - p.rn) THEN ends.kn
+                ELSE LEAST(ends.k1, ends.kn) END::BIGINT AS far_node,
+           (ends.n - 1)::BIGINT AS diameter_lb,
+           ends.n::BIGINT AS n_reached
+    FROM p, ends
+    """,
+)
+def q203(spark, sf_dir):
+    """Two-sweep BFS diameter bound (operators/kg_metrics.
+    two_sweep_diameter; Magnien/Latapy/Habib 2009) — the exact
+    companion to q169's probabilistic HyperBall: BFS from the min-id
+    pivot, re-BFS from the farthest node found, report its
+    eccentricity (exact diameter on trees). Fixture: the q122
+    per-customer order chains (depth-bounded at 12, so BFS rounds
+    stay constant regardless of SF); on a disconnected forest the
+    sweep measures the PIVOT's component — the chain containing the
+    globally-min order key — where every step has a closed form: the
+    pivot sits mid-chain at its date rank, BFS 1 must walk to the
+    LONGER end (tiebreak min id when equidistant), and the second
+    eccentricity is exactly that chain's length-1. The oracle
+    derives pivot, far end and bound from window ranks alone, never
+    running a BFS; the frontier joins are the q122-verified plan,
+    and tree/disconnected/mid-pivot cases are pinned in pytest."""
+    from ..operators.kg_metrics import two_sweep_diameter
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = (
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            "o_custkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 12)
+        .withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("o_custkey"))
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+    chain = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("b.o_custkey") == F.col("a.o_custkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+    return two_sweep_diameter(chain)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

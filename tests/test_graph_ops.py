@@ -543,3 +543,45 @@ def test_pathsim_hot_b_cap(spark):
         for r in pathsim_topk(e, k=10, max_b_degree=3).collect()
     }
     assert capped == {("x", "y"): 1, ("y", "x"): 1}
+
+
+def test_two_sweep_diameter_exact_on_tree(spark):
+    from phenobert_spark.operators.kg_metrics import two_sweep_diameter
+
+    #      1
+    #     / \
+    #    2   3
+    #   /     \
+    #  4       5
+    #  |       |
+    #  6       7   -> diameter = 6 (path 6-4-2-1-3-5-7)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 7)], "src long, dst long"
+    )
+    r = two_sweep_diameter(edges).collect()[0]
+    assert r.pivot == 1
+    assert r.far_node in (6, 7)
+    assert r.diameter_lb == 6
+    assert r.n_reached == 7
+
+
+def test_two_sweep_diameter_chain_pivot_midway(spark):
+    from phenobert_spark.operators.kg_metrics import two_sweep_diameter
+
+    # chain 10-20-5-30-40: pivot is 5 (middle), diameter 4
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 5), (5, 30), (30, 40)], "src long, dst long"
+    )
+    r = two_sweep_diameter(edges).collect()[0]
+    assert r.pivot == 5
+    assert r.diameter_lb == 4 and r.n_reached == 5
+
+
+def test_two_sweep_diameter_disconnected_uses_pivot_component(spark):
+    from phenobert_spark.operators.kg_metrics import two_sweep_diameter
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (100, 200)], "src long, dst long"
+    )
+    r = two_sweep_diameter(edges).collect()[0]
+    assert r.pivot == 1 and r.diameter_lb == 2 and r.n_reached == 3

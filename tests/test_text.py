@@ -327,3 +327,35 @@ def test_dsir_select_deterministic_and_target_biased(spark):
     assert sel_mean > corpus_mean
     # and the target-like half dominates the selection
     assert sum(d.startswith("t") for d in got) >= 7
+
+
+def test_normalize_unicode_nfc_composes(spark):
+    from phenobert_spark.operators.text import normalize_unicode
+
+    rows = [(1, "Café"), (2, "Café"), (3, "plain"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_norm for r in normalize_unicode(df).collect()}
+    assert out[1] == out[2] == "Café"
+    assert out[3] == "plain" and out[4] is None
+
+
+def test_normalize_unicode_nfkc_folds_compat(spark):
+    from phenobert_spark.operators.text import normalize_unicode
+
+    # NFKC folds the ligature and fullwidth forms; NFC does not
+    rows = [(1, "ﬁle ａbc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfkc = normalize_unicode(df, form="NFKC").collect()[0].text_norm
+    nfc = normalize_unicode(df, form="NFC").collect()[0].text_norm
+    assert nfkc == "file abc"
+    assert nfc == "ﬁle ａbc"
+
+
+def test_normalize_unicode_rejects_bad_form(spark):
+    import pytest as _pytest
+
+    from phenobert_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")
