@@ -8042,6 +8042,51 @@ def q203(spark, sf_dir):
     return two_sweep_diameter(chain)
 
 
+@register(
+    "q204_salted_join",
+    """
+    SELECT s.s_nationkey AS nation,
+           COUNT(*)::BIGINT AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY nation
+    """,
+)
+def q204(spark, sf_dir):
+    """Salted skew-proof join (operators/skew.salted_join) — the
+    north rule's explicit skew handling as a first-class operator:
+    the fact side gets a deterministic pmod(xxhash64) salt, the
+    dimension side is exploded factor× so every (key, salt) bucket
+    joins locally, and ONE hot key's rows spread over factor
+    reducers instead of one. The oracle is the PLAIN unsalted join
+    aggregated per nation — proving the rewrite is semantics-free;
+    the hot-key spread itself and the left-join no-match-lost
+    property are pinned in tests/test_skew.py. (AQE splits skewed
+    partitions, but only salting splits a single skewed KEY.)"""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_nationkey"
+    )
+    joined = salted_join(
+        li, su, on="k", factor=8, salt_by=["l_orderkey", "l_linenumber"]
+    )
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
