@@ -395,3 +395,43 @@ def random_walks(
         "path",
         (F.size("path") - F.lit(1)).alias("steps"),
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    path_col: str = "path",
+    walk_col: str = "walk_id",
+) -> DataFrame:
+    """(center, context, n) skip-gram training pairs from a walk
+    corpus — the DeepWalk/node2vec step between :func:`random_walks`
+    and an embedding trainer: every ordered pair of walk positions
+    within ``window`` hops becomes one co-occurrence observation,
+    counted corpus-wide.
+
+    Plan: posexplode each path (row growth × walk length, a bounded
+    constant), self-join on the walk id with the |Δpos| ≤ window
+    band filter — per-walk fan-out ≤ 2·window·len, never quadratic
+    in the corpus — then one map-side-combinable count keyed on the
+    (center, context) pair. Walk IDs are unique keys, so the
+    equi-join is skew-free by construction.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pos = walks.select(
+        F.col(walk_col).alias("_w"),
+        F.posexplode(F.col(path_col)).alias("_p", "_n"),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._w") == F.col("b._w"))
+        & (F.col("b._p") != F.col("a._p"))
+        & (F.col("b._p") >= F.col("a._p") - window)
+        & (F.col("b._p") <= F.col("a._p") + window),
+    ).select(
+        F.col("a._n").alias("center"), F.col("b._n").alias("context")
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").alias("n")
+    )

@@ -8087,6 +8087,90 @@ def q204(spark, sf_dir):
     )
 
 
+@register(
+    "q205_skipgram_pairs",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'P' || l_partkey AS s, 'S' || l_suppkey AS d
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    ), starts AS (
+      SELECT DISTINCT s AS start FROM e
+    ), w0 AS (
+      SELECT start || '#0' AS walk_id, start, start AS cur,
+             start AS path FROM starts
+    ), s1 AS (
+      SELECT w0.walk_id, ANY_VALUE(w0.cur) AS cur0,
+             ANY_VALUE(w0.path) AS path,
+             arg_min(e.d, md5(w0.walk_id || '|1|' || e.d)) AS nd
+      FROM w0 LEFT JOIN e ON w0.cur = e.s
+      GROUP BY w0.walk_id
+    ), w1 AS (
+      SELECT walk_id, COALESCE(nd, cur0) AS cur,
+             CASE WHEN nd IS NULL THEN path
+                  ELSE path || '->' || nd END AS path
+      FROM s1
+    ), s2 AS (
+      SELECT w1.walk_id, ANY_VALUE(w1.cur) AS cur0,
+             ANY_VALUE(w1.path) AS path,
+             arg_min(e.d, md5(w1.walk_id || '|2|' || e.d)) AS nd
+      FROM w1 LEFT JOIN e ON w1.cur = e.s
+      GROUP BY w1.walk_id
+    ), final AS (
+      SELECT walk_id,
+             CASE WHEN nd IS NULL THEN path
+                  ELSE path || '->' || nd END AS path_str
+      FROM s2
+    ), toks AS (
+      SELECT walk_id,
+             unnest(string_split(path_str, '->')) AS node,
+             unnest(range(1, len(string_split(path_str, '->')) + 1))
+               AS pos
+      FROM final
+    ), pairs AS (
+      SELECT a.node AS center, b.node AS context
+      FROM toks a JOIN toks b
+        ON a.walk_id = b.walk_id
+       AND b.pos <> a.pos
+       AND abs(b.pos - a.pos) <= 2
+    )
+    SELECT center, context, COUNT(*)::BIGINT AS n
+    FROM pairs GROUP BY center, context
+    ORDER BY center, context
+    """,
+)
+def q205(spark, sf_dir):
+    """Skip-gram pair generation from the walk corpus (operators/
+    kg_query.skipgram_pairs) — the DeepWalk/node2vec step between
+    q154's deterministic random walks and a KG-embedding trainer:
+    every ordered co-occurrence within the +-2 window of every walk,
+    counted corpus-wide. Plan: posexplode (bounded by walk length) +
+    a walk-id equi-join with the position band filter (fan-out <=
+    2*window*len per walk, skew-free since walk ids are unique) +
+    one map-side-combinable pair count. The oracle re-derives the
+    identical md5-drawn walks in SQL (the q154 CTE chain) and
+    enumerates the same window pairs via parallel unnest."""
+    from ..operators.kg_query import random_walks, skipgram_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.select(
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .unionByName(
+            s.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+    )
+    walks = random_walks(edges, walk_len=2)
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

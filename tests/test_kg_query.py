@@ -276,3 +276,41 @@ def test_random_walks_rejects_bad_len(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         random_walks(edges, walk_len=0)
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from phenobert_spark.operators.kg_query import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", ["a", "b", "c", "d"]), ("w2", ["a", "b"])],
+        "walk_id string, path array<string>",
+    )
+    got = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    # w1 adjacent pairs both directions + w2's a<->b
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("b", "c")] == 1 and got[("c", "d")] == 1
+    assert ("a", "c") not in got  # beyond window 1
+    # window 2 includes distance-2 pairs
+    got2 = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got2[("a", "c")] == 1 and got2[("b", "d")] == 1
+    assert ("a", "d") not in got2
+
+
+def test_skipgram_pairs_rejects_bad_window(spark):
+    import pytest
+
+    from phenobert_spark.operators.kg_query import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w", ["a"])], "walk_id string, path array<string>"
+    )
+    with pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
