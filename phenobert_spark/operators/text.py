@@ -751,3 +751,50 @@ def normalize_unicode(
             yield pdf
 
     return df.mapInPandas(_norm, out_schema)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode-script profile: counts of Latin / CJK
+    (Han) / Cyrillic letters, digits, whitespace and other chars,
+    plus a deterministic dominant script — the routing signal a
+    multilingual 100-TB corpus needs BEFORE language-id (script
+    gates which langid models even apply; CJK vs Latin decides the
+    tokenizer family; mixed-script docs are a spam signal).
+
+    Pure JVM Column algebra: each count is
+    ``length(s) - length(regexp_replace(s, class, ''))`` over a
+    Unicode script class — map-only, no shuffle, no UDF. Dominance
+    ties break by fixed priority latin > cjk > cyrillic; documents
+    with no letters at all profile as 'none'.
+    """
+    s = F.col(text_col)
+    n = F.length(s)
+
+    def strip_count(cls: str):
+        return n - F.length(F.regexp_replace(s, cls, ""))
+
+    lat = strip_count(r"\p{IsLatin}")
+    cjk = strip_count(r"\p{IsHan}")
+    cyr = strip_count(r"\p{IsCyrillic}")
+    dig = strip_count(r"[0-9]")
+    spc = strip_count(r"\s")
+    dom = (
+        F.when((lat == 0) & (cjk == 0) & (cyr == 0), "none")
+        .when((lat >= cjk) & (lat >= cyr), "latin")
+        .when(cjk >= cyr, "cjk")
+        .otherwise("cyrillic")
+    )
+    return df.withColumns(
+        {
+            "n_chars": n.cast("long"),
+            "n_latin": lat.cast("long"),
+            "n_cjk": cjk.cast("long"),
+            "n_cyrillic": cyr.cast("long"),
+            "n_digit": dig.cast("long"),
+            "n_space": spc.cast("long"),
+            "n_other": (n - lat - cjk - cyr - dig - spc).cast("long"),
+            "dominant_script": dom,
+        }
+    )

@@ -8171,6 +8171,59 @@ def q205(spark, sf_dir):
     return skipgram_pairs(walks, window=2).orderBy("center", "context")
 
 
+@register(
+    "q206_script_profile",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 AS m4, doc_id % 3 AS m3 FROM documents
+    )
+    SELECT doc_id,
+           (5 + m4 + m3)::BIGINT AS n_chars,
+           2::BIGINT AS n_latin,
+           m4::BIGINT AS n_cjk,
+           m3::BIGINT AS n_cyrillic,
+           2::BIGINT AS n_digit,
+           1::BIGINT AS n_space,
+           0::BIGINT AS n_other,
+           CASE WHEN 2 >= m4 AND 2 >= m3 THEN 'latin'
+                WHEN m4 >= m3 THEN 'cjk'
+                ELSE 'cyrillic' END AS dominant_script
+    FROM d ORDER BY doc_id
+    """,
+)
+def q206(spark, sf_dir):
+    """Unicode-script profiling (operators/text.script_profile) —
+    the pre-langid routing signal of a multilingual corpus: Latin /
+    Han / Cyrillic / digit / space counts per document plus a
+    deterministic dominant script (ties break latin > cjk >
+    cyrillic), all via JVM regexp_replace length-diffs — map-only,
+    no UDF. Fixture: each doc synthesizes 'ab ' + (doc_id%4) Han
+    chars + (doc_id%3) Cyrillic chars + '12', so every count and the
+    dominance CASE have closed forms; the oracle derives them from
+    the arithmetic alone and never touches a regex — the script
+    classes themselves are what the value-hash checks (real
+    multilingual strings are pinned in tests/test_text.py)."""
+    from ..operators.text import script_profile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("ab "),
+            F.repeat(F.lit("中"), (F.col("doc_id") % 4).cast("int")),
+            F.repeat(F.lit("ж"), (F.col("doc_id") % 3).cast("int")),
+            F.lit("12"),
+        ).alias("t"),
+    )
+    return (
+        script_profile(d, text_col="t")
+        .select(
+            "doc_id", "n_chars", "n_latin", "n_cjk", "n_cyrillic",
+            "n_digit", "n_space", "n_other", "dominant_script",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -359,3 +359,37 @@ def test_normalize_unicode_rejects_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         normalize_unicode(df, form="NFX")
+
+
+def test_script_profile_counts(spark):
+    from phenobert_spark.operators.text import script_profile
+
+    rows = [
+        (1, "abc 12"),
+        (2, "中文文本"),
+        (3, "привет мир"),
+        (4, "mix中ж1 !"),
+        (5, "!!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    r = got[1]
+    assert (r.n_latin, r.n_digit, r.n_space, r.n_cjk) == (3, 2, 1, 0)
+    assert r.dominant_script == "latin"
+    assert got[2].n_cjk == 4 and got[2].dominant_script == "cjk"
+    assert got[3].n_cyrillic == 9 and got[3].dominant_script == "cyrillic"
+    r4 = got[4]
+    assert (r4.n_latin, r4.n_cjk, r4.n_cyrillic, r4.n_digit) == (3, 1, 1, 1)
+    assert r4.n_other == 1  # '!'
+    assert r4.dominant_script == "latin"
+    assert got[5].dominant_script == "none"
+    assert got[5].n_other == 6
+
+
+def test_script_profile_tie_priority(spark):
+    from phenobert_spark.operators.text import script_profile
+
+    df = spark.createDataFrame([(1, "a中"), (2, "中ж")], "doc_id long, text string")
+    got = {r.doc_id: r.dominant_script for r in script_profile(df).collect()}
+    assert got[1] == "latin"  # latin ties cjk -> latin wins
+    assert got[2] == "cjk"    # cjk ties cyrillic -> cjk wins
