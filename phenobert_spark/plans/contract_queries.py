@@ -8224,6 +8224,120 @@ def q206(spark, sf_dir):
     )
 
 
+@register(
+    "q207_ab_test",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 180
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT CASE WHEN substr(md5(user_id::VARCHAR || 'ab'), 1, 8)
+                       < '80000000'
+                  THEN 'A' ELSE 'B' END AS variant,
+             conv
+      FROM per_user
+    ), g AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(conv) AS n_conv
+      FROM a GROUP BY variant
+    ), c AS (
+      SELECT n_users AS cn, n_conv AS cc FROM g WHERE variant = 'A'
+    )
+    SELECT g.variant, g.n_users::BIGINT AS n_users,
+           g.n_conv::BIGINT AS n_conv,
+           ROUND(g.n_conv::DOUBLE / g.n_users, 6) AS rate,
+           ROUND(CASE WHEN g.variant = 'A' THEN 0.0
+                 ELSE (g.n_conv::DOUBLE / g.n_users)
+                      / (c.cc::DOUBLE / c.cn) - 1 END, 6)
+             AS lift_vs_control,
+           ROUND(CASE WHEN g.variant = 'A' THEN 0.0
+                 ELSE ((g.n_conv::DOUBLE / g.n_users)
+                       - (c.cc::DOUBLE / c.cn))
+                      / sqrt(((g.n_conv + c.cc)::DOUBLE
+                              / (g.n_users + c.cn))
+                             * (1 - (g.n_conv + c.cc)::DOUBLE
+                                    / (g.n_users + c.cn))
+                             * (1.0 / g.n_users + 1.0 / c.cn)) END, 6)
+             AS z_vs_control
+    FROM g, c ORDER BY variant
+    """,
+)
+def q207(spark, sf_dir):
+    """A/B experiment readout (operators/experiments.ab_test_report)
+    — per-variant conversion with the pooled two-proportion z
+    statistic vs control: the decision table every event-stream
+    experiment ends in. Variant assignment is the engine's
+    deterministic md5 hash-split (operators/sampling.hash_split,
+    q99-verified convention), so the experiment is reproducible
+    across engines and re-runs — the oracle re-derives the identical
+    assignment, marginals and z arithmetic in SQL. Plan: one
+    user-keyed conversion rollup + a variant-cardinality aggregate +
+    a one-row broadcast control join."""
+    from ..operators.experiments import ab_test_report
+    from ..operators.sampling import hash_split
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 180)
+            ).cast("int")
+        ).alias("converted")
+    )
+    assigned = hash_split(
+        per_user,
+        {"A": 0.5, "B": 0.5},
+        id_col="user_id",
+        salt="ab",
+        out_col="variant",
+    )
+    return ab_test_report(assigned).orderBy("variant")
+
+
+@register(
+    "q208_decayed_engagement",
+    """
+    WITH w AS (
+      SELECT user_id, value,
+             (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+              - epoch_us(ts)) / 86400000000.0 AS age
+      FROM events
+    ), f AS (
+      SELECT user_id, value, power(0.5, age / 7.0) AS wt
+      FROM w WHERE age >= 0
+    )
+    SELECT user_id AS key,
+           ROUND(SUM(wt), 6) AS decayed_n,
+           ROUND(SUM(wt * value), 6) AS decayed_value
+    FROM f GROUP BY user_id ORDER BY key
+    """,
+)
+def q208(spark, sf_dir):
+    """Exponential time-decay engagement features (operators/
+    experiments.decayed_counts) — the standard recency-weighted
+    activity aggregate (half-life 7 days), anchored on an EXPLICIT
+    date so the weight is a pure per-row function: the aggregate
+    stays fully map-side combinable (no ordered EWMA state) and the
+    feature is deterministic/backfillable. Sub-second precision via
+    cast(timestamp as double) == epoch_us/1e6, the detail
+    unix_timestamp() would truncate (and the oracle would catch).
+    One keyed aggregate over the stream; future-dated rows relative
+    to the anchor are excluded, not up-weighted."""
+    from ..operators.experiments import decayed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        anchor="2024-02-01",
+        half_life_days=7.0,
+        value_col="value",
+    ).orderBy("key")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
