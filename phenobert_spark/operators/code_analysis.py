@@ -158,3 +158,36 @@ def identifier_vocab(
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+
+
+def path_stats(
+    df: DataFrame, repo: str = "repo", path: str = "path"
+) -> DataFrame:
+    """Per-(repo, extension) file-tree profile: file count, mean
+    directory depth (segments below the repo root), and max depth —
+    the corpus-shape dashboard of a code ingest (vendored-tree
+    detection: deep node_modules-style subtrees; generated-code
+    piles: one extension dominating a repo). Extension = lowercase
+    text after the last '.' of the last path segment ('' when none);
+    depth = number of '/' separators. Pure Column algebra on the
+    path string; one (repo, ext)-keyed combinable aggregate —
+    content is never touched, so the scan prunes to two columns."""
+    last_seg = F.element_at(F.split(F.col(path), "/"), -1)
+    ext = F.when(
+        last_seg.contains("."),
+        F.lower(F.element_at(F.split(last_seg, r"\."), -1)),
+    ).otherwise(F.lit(""))
+    depth = F.size(F.split(F.col(path), "/")) - 1
+    return (
+        df.select(
+            F.col(repo).alias("repo"),
+            ext.alias("ext"),
+            depth.alias("_d"),
+        )
+        .groupBy("repo", "ext")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.round(F.avg("_d"), 6).alias("avg_depth"),
+            F.max("_d").alias("max_depth"),
+        )
+    )

@@ -798,3 +798,95 @@ def script_profile(
             "dominant_script": dom,
         }
     )
+
+
+def abbreviation_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Schwartz-Hearst (PSB 2003) abbreviation-definition extraction:
+    every ``long form (SF)`` occurrence yields the (short_form,
+    long_form) pair whose long form is the SHORTEST word suffix
+    before the parenthesis matching all short-form characters in
+    order, with the first SF char starting a word. The alias-mining
+    pass of biomedical KG construction — the reference's clinical
+    corpora define abbreviations exactly this way, and the pairs
+    feed the synonym tiers of dict_link.
+
+    Boundaries of the simplification, documented: SF must be 2-10
+    chars, alphanumeric with at least one letter; the candidate
+    window is the standard min(|sf|+5, 2*|sf|) preceding words;
+    nested parentheses are not recursed.
+
+    Runs as an Arrow ``mapInPandas`` batch (the backward char-match
+    is genuinely iterative, not Column algebra) — map-only, no
+    shuffle; one output row per (doc, SF occurrence) that matched.
+    """
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+    import re as _re
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("short_form", StringType()),
+            StructField("long_form", StringType()),
+        ]
+    )
+    paren = _re.compile(r"\(([^()]{2,10})\)")
+
+    def _match(sf: str, words: list[str]) -> str | None:
+        # shortest word-suffix of `words` containing sf's chars in
+        # order, with sf[0] starting the first word of the suffix
+        chars = sf.lower()
+        for start in range(len(words) - 1, -1, -1):
+            cand = " ".join(words[start:])
+            low = cand.lower()
+            i = len(low) - 1
+            ok = True
+            for c in reversed(chars[1:]):
+                while i >= 0 and low[i] != c:
+                    i -= 1
+                if i < 0:
+                    ok = False
+                    break
+                i -= 1
+            if ok and low.startswith(chars[0]):
+                return cand
+        return None
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids, out_sf, out_lf = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for m in paren.finditer(text):
+                    sf = m.group(1).strip()
+                    if not (2 <= len(sf) <= 10) or not sf[0].isalpha():
+                        continue
+                    if not all(c.isalnum() or c in "-." for c in sf):
+                        continue
+                    prefix = text[: m.start()].rstrip()
+                    words = prefix.split()
+                    window = min(len(sf) + 5, 2 * len(sf))
+                    lf = _match(sf, words[-window:]) if words else None
+                    if lf:
+                        out_ids.append(rid)
+                        out_sf.append(sf)
+                        out_lf.append(lf)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "short_form": out_sf,
+                    "long_form": out_lf,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

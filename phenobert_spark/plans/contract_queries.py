@@ -8338,6 +8338,119 @@ def q208(spark, sf_dir):
     ).orderBy("key")
 
 
+@register(
+    "q209_abbreviation_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS i, doc_id % 3 AS j, doc_id % 7 AS k
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, 'ABG' AS short_form,
+             'alpha' || i::VARCHAR || ' beta' || j::VARCHAR
+             || ' gamma' || k::VARCHAR AS long_form
+      FROM d
+      UNION ALL
+      SELECT doc_id, 'DE',
+             'delta' || i::VARCHAR || ' echo' || j::VARCHAR
+      FROM d
+    )
+    SELECT doc_id, short_form, long_form
+    FROM pairs ORDER BY doc_id, short_form
+    """,
+)
+def q209(spark, sf_dir):
+    """Schwartz-Hearst abbreviation-definition mining (operators/
+    text.abbreviation_pairs; Schwartz & Hearst PSB 2003) — the alias
+    extraction pass of biomedical KG construction: every `long form
+    (SF)` occurrence resolves to the SHORTEST word suffix matching
+    the short form's characters in order, feeding dict_link's
+    synonym tiers. Arrow mapInPandas (the backward char-match is
+    genuinely iterative), map-only, no shuffle. Fixture: each doc
+    embeds two definitions built from doc_id arithmetic — a 3-letter
+    initialism over three words and a 2-letter one over two — and
+    the oracle emits the expected pairs from the same arithmetic;
+    the extraction algorithm never runs on the DuckDB side. Real
+    biomedical strings (HPO, MRI, DNA, rejection cases) are pinned
+    in tests/test_text.py."""
+    from ..operators.text import abbreviation_pairs
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            "intro alpha%d beta%d gamma%d (ABG) mid delta%d echo%d (DE) end",
+            (d % 5).cast("int"),
+            (d % 3).cast("int"),
+            (d % 7).cast("int"),
+            (d % 5).cast("int"),
+            (d % 3).cast("int"),
+        ).alias("text"),
+    )
+    return abbreviation_pairs(docs).orderBy("doc_id", "short_form")
+
+
+@register(
+    "q210_path_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 3 AS m3 FROM documents
+    ), r AS (
+      SELECT source AS repo,
+             CASE m3 WHEN 0 THEN 'py' WHEN 1 THEN '' ELSE 'rs' END
+               AS ext,
+             CASE m3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END AS dep
+      FROM d
+    )
+    SELECT repo, ext, COUNT(*)::BIGINT AS n_files,
+           ROUND(AVG(dep), 6) AS avg_depth,
+           MAX(dep)::BIGINT AS max_depth
+    FROM r GROUP BY repo, ext ORDER BY repo, ext
+    """,
+)
+def q210(spark, sf_dir):
+    """Code-corpus file-tree profile (operators/code_analysis.
+    path_stats) — per-(repo, extension) counts and directory depths,
+    the corpus-shape dashboard that flags vendored subtrees and
+    generated-code piles before they skew training mixes. Content is
+    never touched: the scan prunes to (repo, path) — the
+    column-pruning discipline the 100-TB table demands. Fixture:
+    three deterministic path shapes per doc_id%3 (a .py two deep, an
+    extensionless doc one deep, an uppercase .RS that must
+    lowercase); the oracle aggregates the expected (ext, depth)
+    directly from the arithmetic, so the path parsing (last-segment
+    split, extension lowering, separator count) is what the
+    value-hash checks."""
+    from ..operators.code_analysis import path_stats
+
+    d = F.col("doc_id")
+    m3, m5, m7 = d % 3, d % 5, d % 7
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.when(
+            m3 == 0,
+            F.format_string(
+                "src/mod%d/file%d.py", m5.cast("int"), m7.cast("int")
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.format_string("docs/readme%d", m7.cast("int")),
+        )
+        .otherwise(
+            F.format_string("a/b/file%d.RS", m7.cast("int"))
+        )
+        .alias("path"),
+    )
+    return (
+        path_stats(docs)
+        .select(
+            "repo", "ext", "n_files", "avg_depth",
+            F.col("max_depth").cast("long").alias("max_depth"),
+        )
+        .orderBy("repo", "ext")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -137,3 +137,26 @@ def test_identifier_vocab_counts(spark):
     counts = {r.token: r.n for r in identifier_vocab(df).collect()}
     assert counts["get"] == 4
     assert counts["x"] == 2 and counts["y"] == 1 and counts["z"] == 1
+
+
+def test_path_stats(spark):
+    from phenobert_spark.operators.code_analysis import path_stats
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "src/main.py"),
+            ("r1", "src/util/helpers.py"),
+            ("r1", "README"),
+            ("r1", "a/b/c/d.TXT"),
+            ("r2", "x.js"),
+        ],
+        "repo string, path string",
+    )
+    got = {
+        (r.repo, r.ext): (r.n_files, r.avg_depth, r.max_depth)
+        for r in path_stats(df).collect()
+    }
+    assert got[("r1", "py")] == (2, 1.5, 2)
+    assert got[("r1", "")] == (1, 0.0, 0)
+    assert got[("r1", "txt")] == (1, 3.0, 3)
+    assert got[("r2", "js")] == (1, 0.0, 0)

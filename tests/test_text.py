@@ -393,3 +393,45 @@ def test_script_profile_tie_priority(spark):
     got = {r.doc_id: r.dominant_script for r in script_profile(df).collect()}
     assert got[1] == "latin"  # latin ties cjk -> latin wins
     assert got[2] == "cjk"    # cjk ties cyrillic -> cjk wins
+
+
+def test_abbreviation_pairs_schwartz_hearst(spark):
+    from phenobert_spark.operators.text import abbreviation_pairs
+
+    rows = [
+        (1, "defined by the Human Phenotype Ontology (HPO) project"),
+        # shortest-suffix rule: only 'magnetic resonance imaging'
+        (2, "scan with magnetic resonance imaging (MRI) today"),
+        # inner char matching mid-word: deoxyribonucleic acid (DNA)
+        (3, "strand of deoxyribonucleic acid (DNA)"),
+        # no plausible long form -> no pair
+        (4, "random text (XYZ)"),
+        # parenthetical that is not an abbreviation (too long / spaces)
+        (5, "some aside (this is a remark) here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.short_form): r.long_form
+        for r in abbreviation_pairs(df).collect()
+    }
+    assert got[(1, "HPO")] == "Human Phenotype Ontology"
+    assert got[(2, "MRI")] == "magnetic resonance imaging"
+    assert got[(3, "DNA")] == "deoxyribonucleic acid"
+    assert (4, "XYZ") not in got
+    assert not any(d == 5 for d, _ in got)
+
+
+def test_abbreviation_pairs_multiple_per_doc(spark):
+    from phenobert_spark.operators.text import abbreviation_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the World Health Organization (WHO) and the "
+             "Human Phenotype Ontology (HPO) agree")],
+        "doc_id long, text string",
+    )
+    got = {r.short_form: r.long_form for r in abbreviation_pairs(df).collect()}
+    assert got == {
+        "WHO": "World Health Organization",
+        "HPO": "Human Phenotype Ontology",
+    }
