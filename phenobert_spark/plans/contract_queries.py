@@ -8451,6 +8451,86 @@ def q210(spark, sf_dir):
     )
 
 
+@register(
+    "q211_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT 5::BIGINT AS k,
+           SUM(n)::BIGINT AS n_rows,
+           COUNT(*)::BIGINT AS n_groups,
+           SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violating_groups,
+           SUM(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+             AS n_rows_at_risk,
+           MIN(n)::BIGINT AS min_group_size,
+           (MIN(n) >= 5) AS passes
+    FROM g
+    """,
+)
+def q211(spark, sf_dir):
+    """k-anonymity release gate (operators/privacy.
+    k_anonymity_summary; Sweeney 2002) — before a corpus or feature
+    table ships, every quasi-identifier combination (nation, market
+    segment, account-balance band) must describe >= k rows or those
+    rows are re-identifiable by linkage. The fine balance band makes
+    most QI cells singletons at sf0.01, so the gate meaningfully
+    fails and counts rows at risk. One QI-keyed combinable count +
+    one scalar rollup — word-count shape at 10^12 rows; the
+    actionable per-group view (which cells to generalize) is
+    k_anonymity_groups, pytest-pinned."""
+    from ..operators.privacy import k_anonymity_summary
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_summary(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+@register(
+    "q212_l_diversity",
+    """
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           COUNT(*)::BIGINT AS n,
+           COUNT(DISTINCT c_mktsegment)::BIGINT
+             AS n_distinct_sensitive,
+           (COUNT(DISTINCT c_mktsegment) >= 2) AS is_diverse
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY c_nationkey, bal_band
+    """,
+)
+def q212(spark, sf_dir):
+    """l-diversity homogeneity check (operators/privacy.
+    l_diversity_groups; Machanavalli 2007) — the attack k-anonymity
+    misses: a QI group can be large yet leak the sensitive attribute
+    if every member shares it. QI = (nation, coarse balance band),
+    sensitive = market segment; small groups at sf0.01 land on a
+    single segment and must flag is_diverse = false while their
+    k-anonymity (q211 at the same k) would look fine. One keyed
+    aggregate with a distinct-count — both map-side combinable."""
+    from ..operators.privacy import l_diversity_groups
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity_groups(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", l_threshold=2
+    ).orderBy("c_nationkey", "bal_band")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
