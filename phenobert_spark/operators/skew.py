@@ -59,12 +59,17 @@ def salted_join(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(factor)),
     )
-    d = dim.crossJoin(
-        F.broadcast(
-            fact.sparkSession.range(factor).select(
-                F.col("id").cast("long").alias("_salt")
+    # dim explosion via explode(sequence(...)): map-only row growth,
+    # no join node at all (a crossJoin against a salt range would
+    # plan as a BroadcastNestedLoopJoin — harmless at factor rows,
+    # but join-free is strictly better and plan-pinnable).
+    d = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(factor - 1).cast("long")
             )
-        )
+        ),
     )
     out = f.join(d, on=[on, "_salt"], how=how)
     return out.drop("_salt")

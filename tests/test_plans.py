@@ -333,3 +333,51 @@ def test_dsir_plan_broadcast_ratio_table(spark):
     assert "BroadcastHashJoin" in plan
     # the two scalar totals ride broadcast nested loops (1-row each)
     assert "IdentityBroadcastMode" in plan
+
+
+def test_new_r5_queries_plan_no_scale_killers(spark):
+    """q198 as-of attribution, q204 salted join, q205 skip-gram join:
+    none may plan a cartesian/broadcast-nested-loop; q198 must keep
+    the union+window as-of shape (zero join nodes at all)."""
+    from phenobert_spark.plans.contract_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    plan_198 = _formatted_plan(
+        spark, QUERIES["q198_last_touch_attribution"](spark, sf)
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin"):
+        assert bad not in plan_198, plan_198
+    for name in ("q204_salted_join", "q205_skipgram_pairs"):
+        plan = _formatted_plan(spark, QUERIES[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_zone_map_scan_counts_broadcasts_zones(spark):
+    """q201's planner arithmetic must broadcast the metadata-sized
+    zones table, never shuffle it."""
+    from phenobert_spark.plans.contract_queries import QUERIES
+
+    plan = _formatted_plan(
+        spark, QUERIES["q201_zone_map_pruning"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_path_stats_prunes_content_column(spark):
+    """path_stats over the documents table must read only
+    (repo, path) — content stays out of the scan's ReadSchema."""
+    from phenobert_spark.operators.code_analysis import path_stats
+
+    docs = spark.createDataFrame(
+        [("r", "a/b.py", "X" * 10)], "repo string, path string, content string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/docs")
+        out = path_stats(spark.read.parquet(f"{td}/docs"))
+        plan = _formatted_plan(spark, out)
+        assert "content" not in plan.split("ReadSchema")[1][:200]
