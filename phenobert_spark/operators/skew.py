@@ -28,7 +28,7 @@ the fact rows of a key regardless of their physical order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
