@@ -191,3 +191,62 @@ def path_stats(
             F.max("_d").alias("max_depth"),
         )
     )
+
+
+def repo_fork_candidates(
+    df: DataFrame,
+    repo: str = "repo",
+    path: str = "path",
+    threshold: float = 0.5,
+    max_path_df: int | None = None,
+) -> DataFrame:
+    """Repo-level fork/mirror detection by file-path-set Jaccard —
+    The Stack's repo-dedup step: forks share most of their tree, and
+    deduplicating at the REPO level removes them wholesale where
+    doc-level near-dup would pay per file. Returns one row per
+    unordered repo pair with ``jaccard >= threshold``:
+    (repo_a, repo_b, n_common, n_a, n_b, jaccard).
+
+    Plan: inverted-index equi-join on the path (pairs materialize
+    only for repos that actually share a path — never the repo cross
+    product), per-pair common count, broadcast-sized size join.
+    ``max_path_df`` drops paths present in more than that many repos
+    BEFORE the join — the boilerplate cut (README.md, LICENSE live in
+    every repo and alone would fan out |repos|² pair rows), same
+    discipline as dedup.decontaminate's max_train_df."""
+    sets = df.select(
+        F.col(repo).alias("_r"), F.col(path).alias("_p")
+    ).distinct()
+    if max_path_df is not None:
+        dfreq = sets.groupBy("_p").agg(F.count("*").alias("_df"))
+        sets = sets.join(
+            dfreq.filter(F.col("_df") <= max_path_df).select("_p"),
+            on="_p",
+            how="inner",
+        )
+    sizes = sets.groupBy("_r").agg(F.count("*").alias("_n"))
+    a = sets.select(F.col("_r").alias("repo_a"), "_p")
+    b = sets.select(F.col("_r").alias("repo_b"), "_p")
+    common = (
+        a.join(b, on="_p")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("_r", "repo_a")), on="repo_a"
+        )
+        .withColumnRenamed("_n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_r", "repo_b")), on="repo_b"
+        )
+        .withColumnRenamed("_n", "n_b")
+    )
+    jac = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return out.filter(jac >= threshold).select(
+        "repo_a", "repo_b", "n_common", "n_a", "n_b",
+        F.round(jac, 6).alias("jaccard"),
+    )

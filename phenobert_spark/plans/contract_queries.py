@@ -8531,6 +8531,61 @@ def q212(spark, sf_dir):
     ).orderBy("c_nationkey", "bal_band")
 
 
+@register(
+    "q213_repo_fork_detection",
+    """
+    WITH sets AS (
+      SELECT DISTINCT source AS r,
+             CASE WHEN doc_id % 7 = 0 THEN 'u' || doc_id::VARCHAR
+                  ELSE 'f' || (doc_id % 25)::VARCHAR END AS p
+      FROM documents
+    ), sizes AS (
+      SELECT r, COUNT(*) AS n FROM sets GROUP BY r
+    ), common AS (
+      SELECT a.r AS repo_a, b.r AS repo_b, COUNT(*) AS n_common
+      FROM sets a JOIN sets b ON a.p = b.p AND a.r < b.r
+      GROUP BY a.r, b.r
+    )
+    SELECT c.repo_a, c.repo_b, c.n_common::BIGINT AS n_common,
+           sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+           ROUND(c.n_common::DOUBLE / (sa.n + sb.n - c.n_common), 6)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.r = c.repo_a
+    JOIN sizes sb ON sb.r = c.repo_b
+    WHERE c.n_common::DOUBLE / (sa.n + sb.n - c.n_common) >= 0.3
+    ORDER BY repo_a, repo_b
+    """,
+)
+def q213(spark, sf_dir):
+    """Repo-level fork/mirror detection (operators/code_analysis.
+    repo_fork_candidates) — The Stack's repo-dedup step: repos
+    sharing most of their file tree (path-set Jaccard) are forks and
+    dedup wholesale, where doc-level near-dup would pay per file.
+    Fixture: the doc_id↔source arithmetic makes repos with equal
+    id%5 share ALL five of their class paths (true forks) while
+    every-7th doc contributes a unique path that dilutes the Jaccard
+    variably below 1.0. Plan: inverted-index path equi-join (pairs
+    exist only where trees actually overlap — never the repo cross
+    product) + broadcast size joins; the max_path_df boilerplate cut
+    (README/LICENSE-style every-repo paths) is exercised in
+    tests/test_code_analysis.py."""
+    from ..operators.code_analysis import repo_fork_candidates
+
+    d = F.col("doc_id")
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.when(
+            d % 7 == 0, F.concat(F.lit("u"), d.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("f"), (d % 25).cast("string")))
+        .alias("path"),
+    )
+    return repo_fork_candidates(files, threshold=0.3).orderBy(
+        "repo_a", "repo_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -160,3 +160,41 @@ def test_path_stats(spark):
     assert got[("r1", "")] == (1, 0.0, 0)
     assert got[("r1", "txt")] == (1, 3.0, 3)
     assert got[("r2", "js")] == (1, 0.0, 0)
+
+
+def test_repo_fork_candidates(spark):
+    from phenobert_spark.operators.code_analysis import repo_fork_candidates
+
+    rows = (
+        [("r1", f"src/f{i}.py") for i in range(4)]
+        + [("r2", f"src/f{i}.py") for i in range(4)]    # exact fork of r1
+        + [("r2", "src/f0.py")]                          # dup row: ignored
+        + [("r3", f"src/f{i}.py") for i in range(2)]     # half overlap
+        + [("r3", "other/a.py"), ("r3", "other/b.py")]
+        + [("r4", "unrelated/x.py")]
+    )
+    df = spark.createDataFrame(rows, "repo string, path string")
+    got = {
+        (r.repo_a, r.repo_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in repo_fork_candidates(df, threshold=0.3).collect()
+    }
+    assert got[("r1", "r2")] == (4, 4, 4, 1.0)
+    assert got[("r1", "r3")] == (2, 4, 4, round(2 / 6, 6))
+    assert got[("r2", "r3")] == (2, 4, 4, round(2 / 6, 6))
+    assert not any("r4" in k for k in got)
+
+
+def test_repo_fork_candidates_boilerplate_cut(spark):
+    from phenobert_spark.operators.code_analysis import repo_fork_candidates
+
+    # README in every repo; without the df cut r1/r2 would pair
+    rows = [(f"r{i}", "README.md") for i in range(5)] + [
+        ("r1", "a.py"), ("r2", "b.py")
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string")
+    with_cut = repo_fork_candidates(
+        df, threshold=0.1, max_path_df=3
+    ).collect()
+    assert with_cut == []
+    no_cut = repo_fork_candidates(df, threshold=0.1).collect()
+    assert len(no_cut) == 10  # all C(5,2) pairs via the hot path
