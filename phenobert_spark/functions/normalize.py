@@ -199,8 +199,15 @@ def _ortho(t: str) -> str:
         t = t[:-1]
     if len(t) > 4 and t.startswith(("ae", "oe")):  # aetiology, oedema
         t = t[1:]
-    if len(t) > 4 and ("ae" in t[1:-1] or "oe" in t[1:-1]):
-        t = t[:1] + t[1:].replace("ae", "e").replace("oe", "e")
+    # Digraph fold to FIXPOINT: replacing "ae" -> "e" can create a new
+    # "ae" (e.g. "aae" -> "ae"), so a single replace-all pass is not
+    # idempotent (lemma(lemma(x)) != lemma(x) on adversarial inputs —
+    # round-5 Hypothesis counterexample 'aaaaaea'). Loop until stable.
+    while len(t) > 4 and ("ae" in t[1:-1] or "oe" in t[1:-1]):
+        t2 = t[:1] + t[1:].replace("ae", "e").replace("oe", "e")
+        if t2 == t:
+            break
+        t = t2
     if len(t) >= 6 and t.endswith("our"):      # tumour, colour
         t = t[:-3] + "or"
     if len(t) >= 7 and t.endswith("isation"):  # mineralisation
