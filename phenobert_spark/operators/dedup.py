@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._scale import fanout
+
 
 def _shingles(text_col, w: int = 3):
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
@@ -98,7 +100,13 @@ def minhash_signatures(
     a single transform(); the struct-accumulator aggregate then only
     slices (md5) or multiplies (xxhash). A per-seed
     ``array_min(transform(...))`` would re-tokenize and re-shingle the
-    text per seed (lambdas block common-subexpression elimination)."""
+    text per seed (lambdas block common-subexpression elimination).
+
+    The input is fanned out to cluster parallelism first: the digest
+    pass is pure per-row CPU, and a single-row-group parquet scan
+    otherwise pins it to one task (measured q17 sf0.1: 3.63s -> 0.83s
+    on local[32]; no-op when the scan is already parallel)."""
+    df = fanout(df, id_col)
     sh = _shingles(F.col(text_col), shingle_w)
     names = [f"mh{i+1}" for i in range(n_hashes)]
     if hash_family == "xxhash":
@@ -243,6 +251,7 @@ def simhash(
     tests/test_dedup.py pins the saturation contrast). The oracle-checked
     contract query q18 passes n_bits=16 explicitly to keep its DuckDB
     twin small."""
+    df = fanout(df, id_col)  # per-row CPU pass; see minhash_signatures
     hs = F.transform(F.split(F.lower(F.trim(text_col)), r"\s+"), F.md5)
     out = df.select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
     high = F.array([F.lit(c) for c in "89abcdef"])
