@@ -125,14 +125,23 @@ def transitive_closure(
     edges: DataFrame, max_iters: int = 30, checkpoint_every: int = 4
 ) -> DataFrame:
     """edges(child, parent) -> closure(node, anc): all (node, ancestor)
-    pairs reachable through one or more parent hops."""
+    pairs reachable through one or more parent hops.
+
+    Round-6 shape (guide §5): every loop state (``new``, ``closure``,
+    ``up``) is ``persist()``-ed — each is consumed 2-3 times per
+    round (the emptiness probe, the anti-join, the union, the next
+    hop), and without the cache iteration i re-ran the entire lineage
+    of iterations 0..i-1 several times over. The final closure is
+    localCheckpoint-ed so every intermediate cache can be released
+    before returning."""
     closure = edges.select(
         F.col("child").alias("node"), F.col("parent").alias("anc")
-    ).distinct()
+    ).distinct().persist()
     frontier = closure
     up = edges.select(
         F.col("child").alias("_c"), F.col("parent").alias("_p")
-    )
+    ).persist()
+    cached = [closure, up]
     for i in range(max_iters):
         # extend the frontier one hop: (node -> anc) + (anc -> anc')
         stepped = (
@@ -143,11 +152,18 @@ def transitive_closure(
         new = stepped.join(closure, on=["node", "anc"], how="left_anti")
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
+            cached.append(new)
         if new.isEmpty():
             break
-        closure = closure.unionByName(new).distinct()
+        closure = closure.unionByName(new).distinct().persist()
+        cached.append(closure)
         frontier = new
-    return closure
+    out = closure.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def transitive_reduction(

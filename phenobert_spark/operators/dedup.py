@@ -241,6 +241,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bits: int = 63,
+    fan: bool = True,
 ) -> DataFrame:
     """(id, simhash BIGINT): per-bit majority vote over token md5 hex
     digits, expressed with aggregate() — zero explode.
@@ -250,8 +251,15 @@ def simhash(
     short same-vocabulary documents (birthday collisions by ~500 docs —
     tests/test_dedup.py pins the saturation contrast). The oracle-checked
     contract query q18 passes n_bits=16 explicitly to keep its DuckDB
-    twin small."""
-    df = fanout(df, id_col)  # per-row CPU pass; see minhash_signatures
+    twin small.
+
+    ``fan=False`` skips the input fan-out (see minhash_signatures):
+    simhash is a pure per-row map, so a consumer that prunes the
+    fingerprint column (e.g. a bare count) would pay the repartition
+    exchange for nothing. Pair-finding consumers (q36 banding) keep
+    the default."""
+    if fan:
+        df = fanout(df, id_col)  # per-row CPU pass; see minhash_signatures
     hs = F.transform(F.split(F.lower(F.trim(text_col)), r"\s+"), F.md5)
     out = df.select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
     high = F.array([F.lit(c) for c in "89abcdef"])

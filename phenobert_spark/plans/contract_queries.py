@@ -195,11 +195,31 @@ def _event_intervals(spark, sf_dir):
 def q04(spark, sf_dir):
     """J4 overlap resolution: single window pass vs quadratic oracle.
     This is the exact operator the annotation pipeline uses for span
-    dedup (operators/spans.keep_maximal_spans)."""
+    dedup (operators/spans.keep_maximal_spans).
+
+    Round-6 (guide §2.4): the exact-duplicate drop runs as a lag()
+    window over the SAME (user_id; start asc, end desc) spec the
+    maximal-span window uses — duplicates are adjacent in that order,
+    so one exchange + one sort serve both windows, where the previous
+    ``distinct()`` paid a second full exchange on (user, start, end).
+    Same rows out (the pipeline dedups spans the same way)."""
     from ..operators.spans import keep_maximal_spans
 
-    iv = _event_intervals(spark, sf_dir).distinct()
-    return keep_maximal_spans(iv, keys=["user_id"]).orderBy(
+    iv = _event_intervals(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("start").asc(), F.col("end").desc()
+    )
+    dedup = (
+        iv.withColumn("_ps", F.lag("start").over(w))
+        .withColumn("_pe", F.lag("end").over(w))
+        .filter(
+            F.col("_ps").isNull()
+            | (F.col("_ps") != F.col("start"))
+            | (F.col("_pe") != F.col("end"))
+        )
+        .drop("_ps", "_pe")
+    )
+    return keep_maximal_spans(dedup, keys=["user_id"]).orderBy(
         "user_id", "start", "end"
     )
 
@@ -684,11 +704,15 @@ _SIMHASH_BITS_SQL = " + ".join(
 )
 def q18(spark, sf_dir):
     """SimHash-16 via the first-class dedup operator (per-bit majority
-    vote over token md5 hex digits — zero explode, zero UDF)."""
+    vote over token md5 hex digits — zero explode, zero UDF).
+    ``fan=False``: this query maps one fingerprint per row with no
+    downstream join, so an input repartition would be pure exchange
+    overhead for consumers that don't need the fingerprints computed
+    (the banded pair path q36 keeps the fan-out)."""
     from ..operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, n_bits=16).orderBy("doc_id")
+    return simhash(d, n_bits=16, fan=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -719,11 +743,12 @@ _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]
 def q19(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: broadcast the query set,
     JVM-side zip_with/aggregate dot products, window top-k. The scale
-    path (IVF buckets) is q20; the pandas-UDF path is q92."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
+    path (IVF buckets) is q20; the pandas-UDF path is q92. The corpus
+    side is fanned out (single-row-group scan otherwise pins the
+    dot-product pass to one task; no-op on parallel scans)."""
+    from ..operators._scale import fanout
+
+    e = fanout(_t(spark, sf_dir, "embeddings"), "vec_id")
 
     def dot(a, b):
         return F.aggregate(
@@ -732,19 +757,30 @@ def q19(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
+    # Norms are per-VECTOR, not per-pair: compute sqrt(v.v) once on
+    # each side before the cross join instead of twice per scored pair
+    # (3 interpreted 64-element dots/pair -> 1; same arithmetic, same
+    # operand order, so the rounded cosine is bit-identical).
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    en = e.select(
+        F.col("vec_id").alias("nid"),
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("en"),
+    )
     scored = (
         F.broadcast(q)
-        .crossJoin(e.select(F.col("vec_id").alias("nid"), "embedding"))
+        .crossJoin(en)
         .filter(F.col("nid") != F.col("qid"))
         .select(
             "qid",
             "nid",
             F.round(
                 dot(F.col("qe"), F.col("embedding"))
-                / (
-                    F.sqrt(dot(F.col("qe"), F.col("qe")))
-                    * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                ),
+                / (F.col("qn") * F.col("en")),
                 4,
             ).alias("cos"),
         )
@@ -875,35 +911,51 @@ _DICT_TERMS = ["hash value", "fast merge", "table", "row", "sort", "window"]
     """,
 )
 def q22(spark, sf_dir):
-    """Dictionary linking J1 + maximal-span J4 expressed relationally:
-    posexplode tokens -> 1/2-gram candidates -> broadcast dict join ->
-    window-based containment dedup (same operators the HPO pipeline
-    uses, cross-checked by a pure-SQL oracle)."""
+    """Dictionary linking J1 + maximal-span J4 expressed relationally.
+
+    Round-6 shape (guide §2.4): 1/2-grams are built NARROWLY from the
+    per-row token array (transform over the array) instead of
+    posexplode + a lead() window — the window form shuffled the entire
+    token stream (~200 rows/doc) before the dictionary filter ever
+    ran. The dict filter now runs INSIDE the array (F.filter before
+    explode), so only matching grams are ever materialized as rows,
+    and the only exchanges left are the tiny distinct + maximal-span
+    window over actual matches. Input fanned out for the
+    single-row-group scan (see operators/_scale.py)."""
+    from ..operators._scale import fanout
     from ..operators.spans import keep_maximal_spans
 
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = toks.select(
-        "doc_id", F.col("tok").alias("term"),
-        F.col("pos").alias("start_pos"), F.col("pos").alias("end_pos"),
-    ).unionByName(
-        toks.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "tok", "nxt").alias("term"),
-            F.col("pos").alias("start_pos"),
-            (F.col("pos") + 1).alias("end_pos"),
-        )
+    d = fanout(_t(spark, sf_dir, "documents"), "doc_id")
+    t0 = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
+    toks = F.col("toks")
     dict_arr = F.array([F.lit(t) for t in _DICT_TERMS])
-    matches = grams.filter(F.array_contains(dict_arr, F.col("term"))).select(
-        "doc_id", "term",
-        F.col("start_pos").alias("start"), F.col("end_pos").alias("end"),
+    uni = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            x.alias("term"), (i + 1).alias("start"), (i + 1).alias("end")
+        ),
+    )
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("term"),
+                i.alias("start"),
+                (i + 1).alias("end"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<term:string,start:int,end:int>>"))
+    grams = F.filter(
+        F.concat(uni, bi), lambda g: F.array_contains(dict_arr, g["term"])
+    )
+    matches = t0.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.term").alias("term"),
+        F.col("g.start").alias("start"), F.col("g.end").alias("end"),
     )
     # de-dup identical (doc,start,end) then maximal spans (pipeline J4)
     maximal = keep_maximal_spans(matches.distinct(), keys=["doc_id"])
@@ -934,21 +986,31 @@ def q22(spark, sf_dir):
     """,
 )
 def q23(spark, sf_dir):
-    """A8 inverted index build: term -> posting-list stats."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = toks.select("doc_id", F.col("tok").alias("term")).unionByName(
-        toks.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("term"))
+    """A8 inverted index build: term -> posting-list stats. Same
+    narrow array-based 1/2-gram construction as q22 (no token-stream
+    window shuffle; dict filter inside the array before explode)."""
+    from ..operators._scale import fanout
+
+    d = fanout(_t(spark, sf_dir, "documents"), "doc_id")
+    t0 = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
+    toks = F.col("toks")
     dict_arr = F.array([F.lit(t) for t in _DICT_TERMS])
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.filter(
+        F.concat(toks, bi), lambda g: F.array_contains(dict_arr, g)
+    )
     return (
-        grams.filter(F.array_contains(dict_arr, F.col("term")))
+        t0.select("doc_id", F.explode(grams).alias("term"))
         .groupBy("term")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
