@@ -83,8 +83,15 @@ def roc_auc(
     )
     return out.select(
         F.round(
-            (F.col("_rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg")),
+            # single-class input (no positives or no negatives) has no
+            # defined AUC: report NULL with the counts intact instead
+            # of an ANSI divide-by-zero (mirrors cohen_kappa's p_e=1
+            # guard).
+            F.when(
+                F.col("n_pos") * F.col("n_neg") > 0,
+                (F.col("_rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+                / (F.col("n_pos") * F.col("n_neg")),
+            ),
             6,
         ).alias("auc"),
         F.col("n_pos").cast("long").alias("n_pos"),

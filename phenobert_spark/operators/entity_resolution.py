@@ -439,10 +439,16 @@ def blocking_quality(
     """
 
     def _canon(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.least(F.col(id_a), F.col(id_b)).alias("_a"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
-        ).distinct()
+        return (
+            df.select(
+                F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+                F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+            )
+            # a self-pair is not a candidate match and would inflate
+            # n_candidates / deflate pairs_quality
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+        )
 
     c, g = _canon(candidates), _canon(gold)
     hit = c.join(g, on=["_a", "_b"], how="inner")
@@ -460,12 +466,18 @@ def blocking_quality(
         F.round(1.0 - F.col("n_candidates") / F.lit(total_pairs), 6).alias(
             "reduction_ratio"
         ),
-        F.round(F.col("n_hit") / F.col("n_gold"), 6).alias(
-            "pairs_completeness"
-        ),
-        F.round(F.col("n_hit") / F.col("n_candidates"), 6).alias(
-            "pairs_quality"
-        ),
+        # empty gold / empty candidate sets have no defined rate:
+        # NULL instead of an ANSI divide-by-zero, counts intact
+        F.round(
+            F.when(F.col("n_gold") > 0, F.col("n_hit") / F.col("n_gold")), 6
+        ).alias("pairs_completeness"),
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hit") / F.col("n_candidates"),
+            ),
+            6,
+        ).alias("pairs_quality"),
     )
 
 

@@ -67,8 +67,11 @@ def ab_test_report(
         "n_conv",
         F.round(p, 6).alias("rate"),
         F.round(
-            F.when(F.col("variant") == control, F.lit(0.0)).otherwise(
-                p / pc - 1
+            # pc == 0 (control arm with zero conversions) makes the
+            # lift undefined; report NULL rather than erroring under
+            # ANSI division, mirroring the se == 0 guard on z.
+            F.when(F.col("variant") == control, F.lit(0.0)).when(
+                pc > 0, p / pc - 1
             ),
             6,
         ).alias("lift_vs_control"),

@@ -855,7 +855,12 @@ def abbreviation_pairs(
                     ok = False
                     break
                 i -= 1
-            if ok and low.startswith(chars[0]):
+            # i >= 0: position 0 must still be unconsumed — the
+            # backward scan for chars[1:] may otherwise have eaten the
+            # first character, letting one character satisfy two SF
+            # letters (each SF char must match a distinct LF char per
+            # Schwartz-Hearst).
+            if ok and i >= 0 and low.startswith(chars[0]):
                 return cand
         return None
 

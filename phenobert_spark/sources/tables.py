@@ -91,7 +91,11 @@ def read_jsonl_documents(
     raw = spark.read.schema(read_schema).json(source)
     defaults = {
         "repo": F.lit("jsonl"),
-        "path": F.monotonically_increasing_id().cast("string"),
+        # content-derived fallback identity: monotonically_increasing_id
+        # varies with partitioning, so re-ingesting the same dump would
+        # mint different document identities and break downstream
+        # dedup/join stability; a content hash is reproducible
+        "path": F.sha2(F.coalesce(F.col(src_field["content"]), F.lit("")), 256),
         "commit": F.lit("0" * 40),
         "lang": F.lit("en"),
     }
