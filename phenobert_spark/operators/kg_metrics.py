@@ -434,10 +434,16 @@ def label_propagation(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # Round 6: the neighbor-label join runs on "b" every round — cache
+    # the symmetrized edges hash-partitioned on that key (persist
+    # keeps the partitioning; the old per-round localCheckpoint chain
+    # erased it and re-shuffled sym each iteration). The loop is lazy
+    # with a rare lineage checkpoint.
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("b")
+        .persist()
     )
     all_nodes = sym.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
@@ -446,12 +452,12 @@ def label_propagation(
             .unionByName(all_nodes)
             .distinct()
         )
-    all_nodes = all_nodes.localCheckpoint(eager=True)
+    all_nodes = all_nodes.persist()
     labels = all_nodes.select("node", F.col("node").alias("lbl"))
     wtop = Window.partitionBy("node").orderBy(
         F.col("_c").desc(), F.col("lbl")
     )
-    for _ in range(iters):
+    for i in range(iters):
         votes = (
             sym.join(labels.withColumnRenamed("node", "b"), on="b")
             .groupBy(F.col("a").alias("node"), "lbl")
@@ -462,13 +468,14 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "lbl")
         )
-        labels = (
-            all_nodes.join(top, on="node", how="left")
-            .select(
-                "node", F.coalesce("lbl", F.col("node")).alias("lbl")
-            )
-            .localCheckpoint(eager=True)
+        labels = all_nodes.join(top, on="node", how="left").select(
+            "node", F.coalesce("lbl", F.col("node")).alias("lbl")
         )
+        if (i + 1) % 2 == 0 and (i + 1) < iters:
+            labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    all_nodes.unpersist()
+    sym.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -549,23 +556,34 @@ def personalized_pagerank(
     left join); the reset vector is a broadcast-joined flag column
     computed once.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    # Same round-6 shape as :func:`pagerank`: one exchange of the edge
+    # table total (hash-partitioned on the source key, cached), degree
+    # aggregate exchange-free on top of it, degree attached to the
+    # rank side per round, node set from degree keys + distinct
+    # destinations, lazy loop with a rare lineage checkpoint.
+    ep = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+        .repartition("_s")
+        .persist()
+    )
     seed_nodes = seeds.select(
         F.col(seeds.columns[0]).alias("node")
     ).distinct()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        ep.unpersist()
+        raise ValueError("personalized_pagerank needs at least one seed")
+    deg = ep.groupBy("_s").agg(F.count("*").alias("_od")).persist()
     # The node universe is edges ∪ seeds: a seed with no incident edge
     # still owns 1/n_seeds of the reset mass and must appear in the
     # output rank vector (otherwise its mass silently vanishes and
     # every other rank is deflated).
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_t").alias("node")))
+        deg.select(F.col("_s").alias("node"))
+        .unionByName(ep.select(F.col("_t").alias("node")).distinct())
         .unionByName(seed_nodes)
         .distinct()
     )
-    n_seeds = seed_nodes.count()
-    if n_seeds == 0:
-        raise ValueError("personalized_pagerank needs at least one seed")
     reset = F.when(
         F.col("_is_seed"), F.lit(1.0) / F.lit(float(n_seeds))
     ).otherwise(F.lit(0.0))
@@ -579,31 +597,31 @@ def personalized_pagerank(
             "node",
             F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    deg = e.groupBy("_s").agg(F.count("*").alias("_od"))
-    ed = e.join(deg, on="_s").localCheckpoint(eager=True)
-    rank = nodes.select("node", reset.alias("rank")).localCheckpoint(
-        eager=True
-    )
-    for _ in range(iters):
+    rank = nodes.select("node", reset.alias("rank"))
+    for i in range(iters):
+        w = deg.join(rank.withColumnRenamed("node", "_s"), on="_s").select(
+            "_s", (F.col("rank") / F.col("_od")).alias("_w")
+        )
         contrib = (
-            ed.join(rank.withColumnRenamed("node", "_s"), on="_s")
+            ep.join(w, on="_s")
             .groupBy(F.col("_t").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("_od")).alias("_in"))
+            .agg(F.sum("_w").alias("_in"))
         )
-        rank = (
-            nodes.join(contrib, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * reset
-                    + F.lit(damping)
-                    * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        rank = nodes.join(contrib, on="node", how="left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * reset
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            rank = rank.localCheckpoint(eager=True)
+    rank = rank.localCheckpoint(eager=True)
+    nodes.unpersist()
+    deg.unpersist()
+    ep.unpersist()
     return rank
 
 
@@ -633,20 +651,30 @@ def hits(
     """
     if iters < 1:
         raise ValueError("hits needs iters >= 1 (auth is undefined at h0)")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).localCheckpoint(
-        eager=True
-    )
+    # Round 6: each half-step joins the edge table on a DIFFERENT key
+    # (_s for the auth push, _t for the hub pull), so cache one copy
+    # hash-partitioned per orientation — every one of the 2*iters
+    # joins then reuses a cached exchange instead of re-shuffling the
+    # edges (localCheckpoint erased partitioning, forcing exactly
+    # that). Half-step scores stay eagerly checkpointed: each is read
+    # by its own L1-sum broadcast AND the next half-step, and the
+    # per-step global sum cannot be hoisted out of the loop.
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    ep_s = e.repartition("_s").persist()
+    ep_t = e.repartition("_t").persist()
+    # per-side distincts run exchange-free on the cached partitioning;
+    # only the final |V|-sized union pays a shuffle
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_t").alias("node")))
+        ep_s.select(F.col("_s").alias("node")).distinct()
+        .unionByName(ep_t.select(F.col("_t").alias("node")).distinct())
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iters):
         a_raw = (
-            e.join(hub.withColumnRenamed("node", "_s"), on="_s")
+            ep_s.join(hub.withColumnRenamed("node", "_s"), on="_s")
             .groupBy(F.col("_t").alias("node"))
             .agg(F.sum("hub").alias("_ar"))
         )
@@ -660,7 +688,7 @@ def hits(
             .localCheckpoint(eager=True)
         )
         h_raw = (
-            e.join(auth.withColumnRenamed("node", "_t"), on="_t")
+            ep_t.join(auth.withColumnRenamed("node", "_t"), on="_t")
             .groupBy(F.col("_s").alias("node"))
             .agg(F.sum("auth").alias("_hr"))
         )
@@ -673,7 +701,11 @@ def hits(
             .select("node", (F.col("_hr") / F.col("_hs")).alias("hub"))
             .localCheckpoint(eager=True)
         )
-    return hub.join(auth, on="node")
+    out = hub.join(auth, on="node")
+    nodes.unpersist()
+    ep_s.unpersist()
+    ep_t.unpersist()
+    return out
 
 
 def k_core(

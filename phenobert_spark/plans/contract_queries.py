@@ -8665,69 +8665,29 @@ def q213(spark, sf_dir):
 # block keeps its local pre-flight and pytest coverage.
 
 _DRIVER_WINDOW_PRIORITY = [
-    # The r4 verdict's top item, verbatim: "Reorder the contract
-    # registry so the driver's ~50-entry window records q102-q137 (36
-    # locally-green queries with zero driver evidence) in
-    # CORRECTNESS_r05.json."  Those 36 come first, then the three
-    # queries that gained value-oracles in r5 (rows-only through r4),
-    # then the round-5 additions (q138+) fill whatever window remains;
-    # any overflow is covered by tools/check_contract.py locally.
-    "q102_pack_sequences",
-    "q103_stratified_split",
-    "q104_corpus_length_stats",
-    "q105_quantize_embeddings",
-    "q106_dup_ngram_stats",
-    "q107_winnow_fingerprints",
-    "q108_row_invariant_manifest",
-    "q109_concept_ic",
-    "q110_resnik_mica",
-    "q111_quantized_topk",
-    "q112_tfidf_neardup",
-    "q113_pagerank",
-    "q114_asof_join",
-    "q115_decontaminate",
-    "q116_repetition_scores",
-    "q117_funnel",
-    "q118_revenue_rollup",
-    "q119_mixture_sample",
-    "q120_hll_distinct",
-    "q121_histogram_quantiles",
-    "q122_bfs_order_chains",
-    "q123_triangle_count",
-    "q124_incremental_dedup",
-    "q125_weighted_order_sample",
-    "q126_embedding_dedup_clusters",
-    "q127_label_propagation",
-    "q128_countmin_heavy_hitters",
-    "q129_sssp_order_chains",
-    "q130_bm25_topk",
-    "q131_rrf_fusion",
-    "q132_pmi_collocations",
-    "q133_dbscan_cosine",
-    "q134_count_anomalies",
-    "q135_feature_propagation",
-    "q136_rendezvous_resharding",
-    "q137_personalized_pagerank",
-    # fresh value-oracles (were rows-only through r4):
-    "q90_hpo_pipeline_fixture",
-    "q91_multimodal_features",
-    "q96_train_counters",
-    # round-5 additions, never seen by any driver run or judge:
-    "q168_dsir_weights",
-    "q169_hyperball",
-    "q138_funnel_windowed",
-    "q139_hits",
-    "q140_link_prediction",
-    "q141_k_core",
-    "q142_cooccurrence_lift",
-    "q143_validity_intervals",
-    "q144_bigram_nll",
-    "q145_graph_summary",
-    "q146_bpe_merges",
+    # Round-6 rotation (r5 verdict items 1 and 5): the driver's ~50-row
+    # recording window first takes 5 rotated VETERANS — exactly the
+    # bench queries whose implementations this optimization round
+    # restructured (regression insurance: their last driver rows are
+    # r4), then the 65 never-driver-verified queries (q147-q167,
+    # q170-q213), with the verdict's five most load-bearing promoted
+    # into the window (q161 noisy-OR, q150 fusion, q182 SCC, q204
+    # salted join, q188 interval join). Whatever overflows the window
+    # is covered locally by tools/check_contract.py (see
+    # OPTIMIZATION_r06.md evidence ledger).
+    "q04_maximal_intervals",
+    "q08_transitive_closure",
+    "q17_minhash_lsh_pairs",
+    "q19_cosine_topk",
+    "q22_dict_match_maximal",
+    "q161_pool_evidence",
+    "q150_fuse_triples",
+    "q182_scc",
+    "q204_salted_join",
+    "q188_interval_overlap_join",
     "q147_entity_resolution",
     "q148_kg_negative_sample",
     "q149_transitive_reduction",
-    "q150_fuse_triples",
     "q151_bgp_match",
     "q152_kg_snapshot_diff",
     "q153_neighborhood_jaccard",
@@ -8738,13 +8698,53 @@ _DRIVER_WINDOW_PRIORITY = [
     "q158_kg_time_travel",
     "q159_ego_sample",
     "q160_bgp_optional",
-    "q161_pool_evidence",
     "q162_schema_graph",
     "q163_subsumptions",
     "q164_rule_mining",
     "q165_rule_apply",
     "q166_ranking_metrics",
     "q167_calibration_bins",
+    "q170_dsir_select",
+    "q171_json_props_rollup",
+    "q172_pii_redact",
+    "q173_doc_bma_similarity",
+    "q174_license_rollup",
+    "q175_cycle_detection",
+    "q176_harmonic_centrality",
+    "q177_modularity",
+    "q178_gram_matrix",
+    "q179_key_skew_profile",
+    "q180_sorted_neighborhood",
+    "q181_louvain_refine",
+    "q183_edge_truss_support",
+    "q184_wl_refinement",
+    "q185_topo_layers",
+    "q186_pathsim_topk",
+    "q187_coalesce_intervals",
+    "q189_bloom_filter_probe",
+    "q190_url_canonicalize",
+    "q191_bcubed_clustering_eval",
+    "q192_roc_auc",
+    "q193_cohen_kappa",
+    "q194_import_edges",
+    "q195_identifier_vocab",
+    "q196_zorder_layout",
+    "q197_retention_cohorts",
+    "q198_last_touch_attribution",
+    "q199_blocking_quality",
+    "q200_fellegi_sunter",
+    "q201_zone_map_pruning",
+    "q202_unicode_nfc",
+    "q203_two_sweep_diameter",
+    "q205_skipgram_pairs",
+    "q206_script_profile",
+    "q207_ab_test",
+    "q208_decayed_engagement",
+    "q209_abbreviation_pairs",
+    "q210_path_stats",
+    "q211_k_anonymity",
+    "q212_l_diversity",
+    "q213_repo_fork_detection",
 ]
 
 
