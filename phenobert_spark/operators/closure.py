@@ -87,6 +87,14 @@ def connected_components(
         # hash(node) partitioning survives into the next round's join.
         new_labels = new_labels.persist()
         caches.append(new_labels)
+        # persist does NOT truncate lineage, and labels feeds the next
+        # round twice (union + join) — the un-truncated logical plan
+        # doubles per round (2^i nodes: a driver-heap OOM by ~20
+        # rounds). Checkpoint every few rounds to cap the plan at a
+        # constant factor; the cost is one lost cached partitioning per
+        # checkpoint boundary, not one per round as before.
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
         # Convergence probe: labels are per-node monotone non-increasing
         # (min), so the label multiset is unchanged iff a hash-sum over
         # (node, component) is — ONE scalar aggregate per round instead
@@ -172,6 +180,12 @@ def transitive_closure(
             break
         closure = closure.unionByName(new).distinct().persist()
         cached.append(closure)
+        # closure feeds the next round twice (anti-join + union) and
+        # persist does not truncate lineage — checkpoint on the same
+        # cadence as `new` so the logical plan stays linear in depth
+        # rather than doubling per round
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            closure = closure.localCheckpoint(eager=True)
         frontier = new
     out = closure.localCheckpoint(eager=True)
     for df in cached:

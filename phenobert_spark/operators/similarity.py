@@ -26,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ._scale import fanout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -128,7 +130,9 @@ def cosine_topk_pandas(
             }
         )
 
-    scored = embeddings.select("vec_id", "embedding").mapInPandas(score, TOPK_SCHEMA)
+    scored = fanout(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    ).mapInPandas(score, TOPK_SCHEMA)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -200,7 +204,11 @@ def _centroid_buckets(
                 }
             )
 
-    return df.select("vec_id", "embedding").mapInPandas(assign, out_schema)
+    # fan out the per-row BLAS pass (single-row-group scans otherwise
+    # pin it to one task; no-op on parallel inputs — operators/_scale)
+    return fanout(df.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        assign, out_schema
+    )
 
 
 def kmeans_fit(
@@ -406,8 +414,9 @@ def cosine_neardup_lsh(
                 }
             )
 
-    bands = embeddings.select(
-        F.col(id_col).alias(id_col), F.col(emb_col)
+    bands = fanout(
+        embeddings.select(F.col(id_col).alias(id_col), F.col(emb_col)),
+        id_col,
     ).mapInPandas(sign_bands, BANDS_SCHEMA)
     a = bands.select(
         F.col("vec_id").alias("id_a"), "band_idx", "band_key"
@@ -511,7 +520,9 @@ def quantized_cosine_topk(
     float brute-force (q19), so IVF bucketing composes in front of it
     unchanged for the 100-TB path.
     """
-    base = quantize_embeddings(embeddings, id_col=id_col, emb_col=emb_col)
+    base = quantize_embeddings(
+        fanout(embeddings, id_col), id_col=id_col, emb_col=emb_col
+    )
     qs = quantize_embeddings(queries, id_col=id_col, emb_col=emb_col).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq")
     )
