@@ -50,22 +50,44 @@ def test_parquet_column_pruning(spark):
 
 
 def test_ivf_assignment_plan_is_narrow(spark):
-    """The IVF coarse-quantizer stages must not shuffle: assignment is
-    a broadcast-matmul argmax inside mapInPandas (the old
-    crossJoin+Window form exchanged the full n x n_centroids scored
-    product — a 4e12-row shuffle at 1e9 vectors x 4096 centroids)."""
+    """The IVF coarse-quantizer must never shuffle the SCORED product:
+    assignment is a broadcast-matmul argmax inside mapInPandas (the
+    old crossJoin+Window form exchanged the full n x n_centroids
+    scored product — a 4e12-row shuffle at 1e9 vectors x 4096
+    centroids). Since round 6 the operator MAY hash-repartition its
+    INPUT rows once before the UDF (operators/_scale.fanout — only
+    when the scan is under-partitioned, e.g. the single-row-group
+    fixtures), so the pin is: no window, no cartesian/nested-loop
+    join, and at most one exchange, which must sit BELOW the Python
+    stage (input fan-out, n rows) rather than above it (scored
+    product)."""
+    import re
+
     from phenobert_spark.operators.similarity import _centroid_buckets
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cent = e.filter(F.col("vec_id") < 8)
-    assigned = _centroid_buckets(spark, e, cent, 1, "vec_id", "embedding")
-    plan = _formatted_plan(spark, assigned)
-    assert "Exchange" not in plan, plan
-    probes = _centroid_buckets(
-        spark, e.filter(F.col("vec_id") < 5), cent, 2, "qid", "qe"
-    )
-    plan = _formatted_plan(spark, probes)
-    assert "Exchange" not in plan, plan
+    for df in (
+        _centroid_buckets(spark, e, cent, 1, "vec_id", "embedding"),
+        _centroid_buckets(
+            spark, e.filter(F.col("vec_id") < 5), cent, 2, "qid", "qe"
+        ),
+    ):
+        plan = _formatted_plan(spark, df)
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        n_ex = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
+        assert n_ex <= 1, plan
+        if n_ex == 1:
+            # the exchange must feed the Python stage, not consume it:
+            # formatted-plan operator ids grow leaf->root, so the
+            # fan-out exchange's id must be smaller than the
+            # MapInPandas id (exchange below = input rows, not the
+            # scored product)
+            ex_id = int(re.search(r"^\((\d+)\) Exchange$", plan, re.MULTILINE).group(1))
+            py_id = int(re.search(r"^\((\d+)\) MapInPandas", plan, re.MULTILINE).group(1))
+            assert ex_id < py_id, plan
 
 
 def test_connected_components_iteration_plan(spark):
